@@ -1,0 +1,71 @@
+"""Import the reference torch implementation for golden parity tests.
+
+The reference (read-only at /root/reference) depends on boto3/requests/
+tensorboardX/torch._six which are absent or gone from modern torch; this
+module stubs them before import. Used ONLY by tests to produce golden values
+— no reference code is shipped in the package.
+"""
+
+import math
+import sys
+import types
+
+_REFERENCE_PATH = "/root/reference"
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def load_reference_vilbert():
+    """Returns the reference `vilbert.vilbert` torch module."""
+    _stub("boto3", client=lambda *a, **k: None, resource=lambda *a, **k: None)
+    botocore = _stub("botocore")
+    exceptions = _stub("botocore.exceptions", ClientError=Exception)
+    botocore.exceptions = exceptions
+    _stub("requests", get=None, head=None)
+
+    class _FakeTqdm:
+        def __init__(self, *a, **k):
+            pass
+
+        def update(self, *a):
+            pass
+
+        def close(self):
+            pass
+
+    _stub("tqdm", tqdm=_FakeTqdm)
+
+    class _FakeSummaryWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, *a, **k):
+            pass
+
+    _stub("tensorboardX", SummaryWriter=_FakeSummaryWriter)
+    _stub("torch._six", inf=math.inf)
+
+    if _REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, _REFERENCE_PATH)
+    import importlib
+
+    return importlib.import_module("vilbert.vilbert")
+
+
+def torch_state_dict_to_numpy(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def make_reference_config(ref_mod, model_config):
+    """Build a reference BertConfig mirroring one of our ModelConfig."""
+    d = model_config.to_dict()
+    cfg = ref_mod.BertConfig.from_dict(d)
+    return cfg

@@ -1,0 +1,261 @@
+"""Typed configuration system.
+
+One typed config covers the reference's three config tiers (SURVEY.md §5):
+argparse CLI flags, model-architecture JSON (reference ``BertConfig``,
+vilbert/vilbert.py:141-294), and the per-task YAML (``vilbert_tasks.yml``).
+
+``ModelConfig`` accepts the reference's JSON config files verbatim
+(e.g. ``config/bert_base_6layer_6conect.json``) so published checkpoints and
+recipes carry over; unknown keys (like the vestigial ``pooling_method``) are
+ignored exactly as the reference's ``BertConfig.from_dict`` effectively does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + behavior flags of the two-stream ViLBERT model.
+
+    Field semantics follow the reference ``BertConfig``
+    (vilbert/vilbert.py:141-294); defaults match the reference defaults.
+    """
+
+    # --- text stream ---
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+
+    # --- vision stream ---
+    v_feature_size: int = 2048
+    v_target_size: int = 1601
+    v_hidden_size: int = 768
+    v_num_hidden_layers: int = 3
+    v_num_attention_heads: int = 12
+    v_intermediate_size: int = 3072
+    v_attention_probs_dropout_prob: float = 0.1
+    v_hidden_act: str = "gelu"
+    v_hidden_dropout_prob: float = 0.1
+    v_initializer_range: float = 0.02
+    num_locs: int = 5  # [x1, y1, x2, y2, area], normalized
+
+    # --- cross stream (co-attention) ---
+    bi_hidden_size: int = 1024
+    bi_num_attention_heads: int = 16
+    bi_intermediate_size: int = 1024
+    bi_attention_type: int = 1
+    v_biattention_id: Tuple[int, ...] = (0, 1)
+    t_biattention_id: Tuple[int, ...] = (10, 11)
+    with_coattention: bool = True
+
+    # --- behavior flags ---
+    visual_target: int = 0  # 0=KL vs soft dist, 1=MSE regression, 2=NCE
+    fast_mode: bool = False
+    fixed_v_layer: int = 0
+    fixed_t_layer: int = 0
+    in_batch_pairs: bool = False
+    fusion_method: str = "mul"  # "sum" | "mul"
+    dynamic_attention: bool = False
+    objective: int = 0
+    num_negative: int = 128
+    model: str = "bert"  # "bert" | "roberta"
+    task_specific_tokens: bool = False
+    num_task_tokens: int = 20
+    visualization: bool = False
+
+    # --- TPU-specific knobs (not in the reference) ---
+    compute_dtype: str = "bfloat16"  # matmul/activation dtype
+    param_dtype: str = "float32"
+    use_pallas_attention: bool = False
+    use_pallas_layernorm: bool = False
+    remat: bool = False  # jax.checkpoint each encoder block
+
+    def __post_init__(self):
+        assert len(self.v_biattention_id) == len(self.t_biattention_id)
+        if self.v_biattention_id:
+            assert max(self.v_biattention_id) < self.v_num_hidden_layers
+            assert max(self.t_biattention_id) < self.num_hidden_layers
+        assert self.hidden_size % self.num_attention_heads == 0
+        assert self.v_hidden_size % self.v_num_attention_heads == 0
+        assert self.bi_hidden_size % self.bi_num_attention_heads == 0
+        assert self.fusion_method in ("sum", "mul")
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any], **overrides: Any) -> "ModelConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        kwargs.update(overrides)
+        for key in ("v_biattention_id", "t_biattention_id"):
+            if key in kwargs and not isinstance(kwargs[key], tuple):
+                kwargs[key] = tuple(kwargs[key])
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides: Any) -> "ModelConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f), **overrides)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["v_biattention_id"] = list(self.v_biattention_id)
+        d["t_biattention_id"] = list(self.t_biattention_id)
+        return d
+
+    def to_json_string(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
+
+    def replace(self, **overrides: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **overrides)
+
+    # -- derived ------------------------------------------------------------
+
+    @property
+    def num_connection_layers(self) -> int:
+        return len(self.v_biattention_id)
+
+    def encoder_schedule(self) -> List[Tuple[str, int]]:
+        """The static interleave schedule of the two-stream encoder.
+
+        Returns an ordered list of ("t"|"v"|"c", layer_index) ops replicating
+        the reference scheduler (vilbert/vilbert.py:934-1096): for each
+        connection i, text layers up to ``t_biattention_id[i]``, then image
+        layers up to ``v_biattention_id[i]``, then connection layer i; finally
+        the trailing image and text layers.
+        """
+        ops: List[Tuple[str, int]] = []
+        v_start = t_start = 0
+        for count, (v_end, t_end) in enumerate(
+            zip(self.v_biattention_id, self.t_biattention_id)
+        ):
+            for idx in range(t_start, t_end):
+                ops.append(("t", idx))
+            for idx in range(v_start, v_end):
+                ops.append(("v", idx))
+            if self.with_coattention:
+                ops.append(("c", count))
+            v_start, t_start = v_end, t_end
+        for idx in range(v_start, self.v_num_hidden_layers):
+            ops.append(("v", idx))
+        for idx in range(t_start, self.num_hidden_layers):
+            ops.append(("t", idx))
+        return ops
+
+
+# ---------------------------------------------------------------------------
+# Per-task configuration (reference vilbert_tasks.yml)
+# ---------------------------------------------------------------------------
+
+#: Task head types (reference vilbert_tasks.yml `type:` field / task_utils.py)
+TASK_TYPES = (
+    "VL-classifier",        # VQA-style soft-label classification (3129)
+    "VL-classifier-GQA",    # GQA 1533-way
+    "VL-logit",             # option ranking via vil_logit (VCR, retrieval, dialog)
+    "V-logit",              # per-region grounding logit (refcoco family, flickr)
+    "V-logit-mc",           # multiple-choice pointing (Visual7w, GuessWhatPointing)
+    "VL-binary-classifier", # NLVR2 / FOIL two-way
+    "VL-tri-classifier",    # SNLI-VE / GuessWhat three-way
+)
+
+#: Batch reshape modes applied by the trainer (reference task_utils.py:199-310)
+PROCESS_MODES = ("normal", "dialog", "expand", "retrieval", "nlvr")
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """One task entry of the multi-task YAML (reference vilbert_tasks.yml)."""
+
+    task_id: int
+    name: str
+    type: str
+    loss: str                      # "BCEWithLogitLoss" | "CrossEntropyLoss"
+    process: str = "normal"
+    dataroot: str = ""
+    features_path: str = ""        # reference features_h5path1 (detector feats)
+    features_path_gt: str = ""     # reference features_h5path2 (GT-box feats)
+    train_annotations_jsonpath: str = ""
+    val_annotations_jsonpath: str = ""
+    max_seq_length: int = 23
+    max_region_num: int = 101
+    batch_size: int = 128
+    eval_batch_size: int = 256
+    train_split: str = "train"
+    val_split: str = "val"
+    lr: float = 4e-5
+    num_epoch: int = 20
+    num_labels: int = 0            # head width where applicable
+
+    def __post_init__(self):
+        assert self.type in TASK_TYPES, self.type
+        assert self.process in PROCESS_MODES, self.process
+
+
+def load_task_configs(path: str) -> Dict[str, TaskConfig]:
+    """Parse a tasks YAML (same schema as the reference vilbert_tasks.yml)."""
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    out: Dict[str, TaskConfig] = {}
+    for key, cfg in raw.items():
+        known = {f.name for f in dataclasses.fields(TaskConfig)}
+        kwargs = {}
+        for k, v in cfg.items():
+            # accept both our names and the reference's h5path names
+            if k == "features_h5path1":
+                kwargs["features_path"] = v
+            elif k == "features_h5path2":
+                kwargs["features_path_gt"] = v
+            elif k in known:
+                kwargs[k] = v
+        out[key] = TaskConfig(**kwargs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Training-run configuration (replaces reference argparse soup)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "adamw"            # "adamw" | "radam"
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-6
+    weight_decay: float = 0.01
+    warmup_proportion: float = 0.1
+    schedule: str = "warmup_linear"  # "warmup_linear" | "warmup_constant" | "constant"
+    head_lr: Optional[float] = None  # lr override for task heads ("vil_" params)
+    pretrained_lr_scale: float = 1.0  # lr multiplier for pretrained BERT params
+    grad_clip_norm: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    seed: int = 0
+    num_train_steps: int = 1000
+    gradient_accumulation_steps: int = 1
+    log_every: int = 20
+    eval_every: int = 0            # 0 = per-epoch semantics handled by driver
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 0
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    freeze_prefix: str = ""        # freeze params whose path starts with this
+    train_iter_gap: int = 4        # gating for stopped tasks (train_tasks.py:516-521)

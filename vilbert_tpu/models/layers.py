@@ -1,0 +1,253 @@
+"""Shared building blocks: activations, LayerNorm module, transformer blocks.
+
+Parity notes (all citations into /root/reference):
+- gelu is the exact erf form (vilbert/vilbert.py:111-117); ACT2FN supports
+  gelu/relu/swish (:131-138).
+- LayerNorm eps is 1e-12 everywhere (vilbert/vilbert.py:304-317).
+- Text block: BertLayer = MHA + residual/LN + FFN + residual/LN
+  (vilbert/vilbert.py:396-533).
+- Image block: BertImageLayer over v_hidden_size, with optional dynamic
+  attention gating Q/K by sigmoid of the mean-pooled text embedding
+  (vilbert/vilbert.py:536-694).
+
+Module/parameter names intentionally mirror the torch attribute names
+("attention.self.query", "intermediate.dense", ...) so checkpoint import is a
+mechanical path mapping (see vilbert_tpu.core.importer).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vilbert_tpu.core.config import ModelConfig
+from vilbert_tpu.ops.attention import attention_core
+from vilbert_tpu.ops.layernorm import layer_norm
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) gelu — matches the reference's non-approximate form."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "swish": swish,
+}
+
+
+class LayerNorm(nn.Module):
+    """TF-style LayerNorm with params named weight/bias (torch convention)."""
+
+    epsilon: float = 1e-12
+    impl: str = "xla"
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, residual: Optional[jax.Array] = None
+    ) -> jax.Array:
+        dim = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        return layer_norm(
+            x, weight, bias, eps=self.epsilon, impl=self.impl, residual=residual
+        )
+
+
+def _dense(cfg: ModelConfig, features: int, name: str, use_bias: bool = True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        param_dtype=jnp.dtype(cfg.param_dtype),
+        kernel_init=nn.initializers.normal(stddev=cfg.initializer_range),
+        name=name,
+    )
+
+
+def _ln(cfg: ModelConfig, name: str = "LayerNorm"):
+    impl = "pallas" if cfg.use_pallas_layernorm else "xla"
+    return LayerNorm(impl=impl, param_dtype=jnp.dtype(cfg.param_dtype), name=name)
+
+
+class SelfAttention(nn.Module):
+    """Q/K/V projection + attention core. Serves both streams.
+
+    hidden size / head count are passed explicitly so the same module covers
+    the text stream (hidden_size, num_attention_heads) and the image stream
+    (v_hidden_size, v_num_attention_heads).
+    """
+
+    config: ModelConfig
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float
+    dynamic: bool = False  # image-stream dynamic attention gates
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        attention_bias: jax.Array,
+        *,
+        deterministic: bool = True,
+        txt_embedding: Optional[jax.Array] = None,
+        txt_mask2: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        q = _dense(cfg, self.hidden_size, "query")(hidden_states)
+        k = _dense(cfg, self.hidden_size, "key")(hidden_states)
+        v = _dense(cfg, self.hidden_size, "value")(hidden_states)
+
+        if self.dynamic:
+            # Dynamic attention (vilbert/vilbert.py:577-586): gate Q/K with
+            # 1 + sigmoid(Linear(mean-pooled text embedding)).
+            assert txt_embedding is not None and txt_mask2 is not None
+            pooled = jnp.sum(txt_embedding * txt_mask2, axis=1) / jnp.sum(
+                txt_mask2, axis=1
+            )
+            gate_q = 1.0 + jax.nn.sigmoid(
+                _dense(cfg, self.hidden_size, "dyLinear_q")(pooled)
+            )
+            gate_k = 1.0 + jax.nn.sigmoid(
+                _dense(cfg, self.hidden_size, "dyLinear_k")(pooled)
+            )
+            q = q * gate_q[:, None, :]
+            k = k * gate_k[:, None, :]
+
+        dropout_rng = None
+        if not deterministic and self.dropout_rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        impl = "pallas" if cfg.use_pallas_attention else "xla"
+        return attention_core(
+            q,
+            k,
+            v,
+            attention_bias,
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+            impl=impl,
+        )
+
+
+class AttentionOutput(nn.Module):
+    """dense -> dropout -> LN(x + input) (reference BertSelfOutput)."""
+
+    config: ModelConfig
+    hidden_size: int
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(
+        self, hidden_states: jax.Array, input_tensor: jax.Array, *, deterministic=True
+    ) -> jax.Array:
+        cfg = self.config
+        h = _dense(cfg, self.hidden_size, "dense")(hidden_states)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return _ln(cfg)(h, residual=input_tensor)
+
+
+class FeedForward(nn.Module):
+    """intermediate dense+act then output dense+dropout+LN(residual).
+
+    Covers reference BertIntermediate/BertOutput and the image variants.
+    """
+
+    config: ModelConfig
+    hidden_size: int
+    intermediate_size: int
+    act: str
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic=True) -> jax.Array:
+        cfg = self.config
+        h = _dense(cfg, self.intermediate_size, "intermediate_dense")(x)
+        h = ACT2FN[self.act](h)
+        h = _dense(cfg, self.hidden_size, "output_dense")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return _ln(cfg)(h, residual=x)
+
+
+class TextLayer(nn.Module):
+    """One text-stream transformer block (reference BertLayer, vilbert.py:520)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, hidden_states: jax.Array, attention_bias: jax.Array, *, deterministic=True
+    ) -> jax.Array:
+        cfg = self.config
+        attn = SelfAttention(
+            cfg,
+            cfg.hidden_size,
+            cfg.num_attention_heads,
+            cfg.attention_probs_dropout_prob,
+            name="attention_self",
+        )(hidden_states, attention_bias, deterministic=deterministic)
+        attn_out = AttentionOutput(
+            cfg, cfg.hidden_size, cfg.hidden_dropout_prob, name="attention_output"
+        )(attn, hidden_states, deterministic=deterministic)
+        return FeedForward(
+            cfg,
+            cfg.hidden_size,
+            cfg.intermediate_size,
+            cfg.hidden_act,
+            cfg.hidden_dropout_prob,
+            name="ffn",
+        )(attn_out, deterministic=deterministic)
+
+
+class ImageLayer(nn.Module):
+    """One image-stream block (reference BertImageLayer, vilbert.py:681)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        attention_bias: jax.Array,
+        txt_embedding: jax.Array,
+        txt_mask2: jax.Array,
+        *,
+        deterministic=True,
+    ) -> jax.Array:
+        cfg = self.config
+        attn = SelfAttention(
+            cfg,
+            cfg.v_hidden_size,
+            cfg.v_num_attention_heads,
+            cfg.v_attention_probs_dropout_prob,
+            dynamic=cfg.dynamic_attention,
+            name="attention_self",
+        )(
+            hidden_states,
+            attention_bias,
+            deterministic=deterministic,
+            txt_embedding=txt_embedding,
+            txt_mask2=txt_mask2,
+        )
+        attn_out = AttentionOutput(
+            cfg, cfg.v_hidden_size, cfg.v_hidden_dropout_prob, name="attention_output"
+        )(attn, hidden_states, deterministic=deterministic)
+        return FeedForward(
+            cfg,
+            cfg.v_hidden_size,
+            cfg.v_intermediate_size,
+            cfg.v_hidden_act,
+            cfg.v_hidden_dropout_prob,
+            name="ffn",
+        )(attn_out, deterministic=deterministic)

@@ -1,0 +1,102 @@
+"""Multi-head attention core.
+
+One attention entry point serves the text self-attention, image self-attention
+and the two cross-attention directions of the co-attention block (reference
+BertSelfAttention vilbert/vilbert.py:396-460, BertImageSelfAttention :536-619,
+BertBiAttention :697-823 — all share the same scaled-dot-product core with an
+additive mask on the key axis).
+
+TPU design notes:
+- scores/softmax accumulate in fp32 regardless of the bf16 compute dtype
+  (MXU accumulates fp32 natively; ``preferred_element_type`` pins it),
+- the mask is an additive bias (−10000 at padded keys), precomputed once per
+  batch and broadcast over heads/queries — never a boolean select in the
+  hot path,
+- ``impl="pallas"`` routes to a fused Pallas kernel that keeps the
+  scores/probs tile resident in VMEM (no [B,h,Sq,Sk] HBM round trip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, S, H] -> [B, h, S, H/h]."""
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, h, S, d] -> [B, S, h*d]."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def attention_core(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    *,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Scaled dot-product attention over projected inputs.
+
+    Args:
+      q: [B, Sq, H] query projections.
+      k: [B, Sk, H] key projections.
+      v: [B, Sk, H] value projections.
+      bias: additive attention bias broadcastable to [B, h, Sq, Sk]
+        (typically [B, 1, 1, Sk] with 0 / −10000 entries), or None.
+      num_heads: number of attention heads h (H % h == 0).
+      dropout_rate: attention-probability dropout (reference drops whole keys).
+      impl: "xla" | "pallas".
+
+    Returns:
+      [B, Sq, H] attention output (pre output-projection).
+    """
+    if impl == "pallas" and deterministic:
+        from vilbert_tpu.ops.pallas_attention import fused_attention
+
+        return fused_attention(q, k, v, bias, num_heads=num_heads)
+
+    qh = split_heads(q, num_heads)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+    head_dim = qh.shape[-1]
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    )
+    scores = scores * (1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32)))
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    if dropout_rate > 0.0 and not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when applying attention dropout")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    probs = probs.astype(vh.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return merge_heads(ctx)
+
+
+def make_additive_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, S] {0,1} validity mask -> [B, 1, 1, S] additive bias (0 / −10000).
+
+    Matches the reference's extended mask construction
+    (vilbert/vilbert.py:1341-1362): −10000 at padded positions.
+    """
+    bias = (1.0 - mask.astype(jnp.float32)) * -10000.0
+    return bias[:, None, None, :].astype(dtype)
