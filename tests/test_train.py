@@ -1,0 +1,255 @@
+"""Training-layer tests: optimizer groups, schedules, controllers, and an
+end-to-end pretraining smoke on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+
+class TestSchedules:
+    def test_warmup_linear(self):
+        from vilbert_tpu.train.optim import warmup_linear_schedule
+
+        s = warmup_linear_schedule(1.0, 100, 0.1)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(5)), 0.5)
+        np.testing.assert_allclose(float(s(10)), 1.0)
+        np.testing.assert_allclose(float(s(55)), 0.5)
+        np.testing.assert_allclose(float(s(100)), 0.0)
+
+    def test_warmup_constant(self):
+        from vilbert_tpu.train.optim import warmup_constant_schedule
+
+        s = warmup_constant_schedule(2.0, 100, 0.1)
+        np.testing.assert_allclose(float(s(5)), 1.0)
+        np.testing.assert_allclose(float(s(80)), 2.0)
+
+
+class TestController:
+    def test_stop_and_resume_sequence(self):
+        """Replicates the reference manual scenario (tools/test_controller.py):
+        plateau -> in_stop, score collapse -> resume."""
+        from vilbert_tpu.train.controllers import StopOnPlateau
+
+        c = StopOnPlateau(mode="max", patience=3, continue_threshold=0.005)
+        for s in [0.1, 0.2, 0.3, 0.31]:
+            c.step(s)
+        assert not c.in_stop
+        for s in [0.31, 0.31, 0.31, 0.31]:
+            c.step(s)
+        assert c.in_stop          # patience 3 exceeded
+        c.step(0.29)              # dropped > 0.5% below best -> resume
+        assert not c.in_stop
+
+    def test_multi_task_gating(self):
+        from vilbert_tpu.train.controllers import MultiTaskStopController
+
+        m = MultiTaskStopController(["TASK1", "TASK2"], patience=1, train_iter_gap=4)
+        assert m.should_train("TASK1", 3)
+        for _ in range(5):
+            m.step("TASK1", 0.5)
+        assert m.controllers["TASK1"].in_stop
+        assert not m.should_train("TASK1", 3)
+        assert m.should_train("TASK1", 4)   # every train_iter_gap
+        m.reset_all()
+        assert not m.controllers["TASK1"].in_stop
+
+
+class TestOptimGroups:
+    def test_labels_and_freeze(self, tiny_config):
+        import jax
+
+        from vilbert_tpu.core.config import OptimizerConfig
+        from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+        from vilbert_tpu.train.optim import label_params
+
+        model = ViLBERTForVLTasks(tiny_config)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.ones((2, 8), np.int32),
+            np.ones((2, 5, tiny_config.v_feature_size), np.float32),
+            np.ones((2, 5, 5), np.float32),
+        )["params"]
+        labels = label_params(params, head_lr=1e-4, freeze_prefix="bert.embeddings")
+        flat = jax.tree_util.tree_leaves_with_path(labels)
+        by_label = {}
+        for path, lab in flat:
+            by_label.setdefault(lab, []).append(path)
+        assert "head" in by_label and "base" in by_label and "frozen" in by_label
+
+    def test_frozen_params_unchanged(self, tiny_config):
+        import jax
+        import jax.numpy as jnp
+
+        from vilbert_tpu.core.config import OptimizerConfig
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+        from vilbert_tpu.train.optim import build_optimizer
+
+        model = ViLBERTForPretraining(tiny_config)
+        B, T, R = 2, 8, 5
+        batch = {
+            "input_ids": np.ones((B, T), np.int32),
+            "image_feat": np.ones((B, R, tiny_config.v_feature_size), np.float32),
+            "image_loc": np.ones((B, R, 5), np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.full((B, R - 1), 1, np.int32),
+            "image_target": np.ones((B, R - 1, tiny_config.v_target_size), np.float32)
+            / tiny_config.v_target_size,
+            "is_next": np.zeros((B,), np.int32),
+        }
+        batch["lm_label_ids"][:, 1] = 5
+        params = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+            batch["image_loc"],
+        )["params"]
+        opt_cfg = OptimizerConfig(learning_rate=1e-2, schedule="constant")
+        tx, _ = build_optimizer(
+            opt_cfg, params, 100, freeze_prefix="bert.embeddings"
+        )
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        loss_fn = make_pretrain_loss_fn(model, tiny_config, deterministic=True)
+        step_fn = make_train_step(loss_fn, tx, jit=True)
+        state = TrainState.create(params, tx)
+        frozen_before = jax.device_get(
+            state.params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+        )
+        other_before = jax.device_get(
+            state.params["bert"]["t_pooler"]["dense"]["kernel"]
+        )
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        frozen_after = jax.device_get(
+            state.params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+        )
+        other_after = jax.device_get(
+            state.params["bert"]["t_pooler"]["dense"]["kernel"]
+        )
+        np.testing.assert_array_equal(frozen_before, frozen_after)
+        assert np.abs(other_before - other_after).max() > 0
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestEndToEnd:
+    def test_pretrain_loss_decreases_on_mesh(self, tiny_config):
+        """Synthetic CC pretraining on the 8-device CPU mesh: loss decreases,
+        params stay replicated."""
+        import jax
+
+        from vilbert_tpu.core.config import OptimizerConfig
+        from vilbert_tpu.data.concap import ConceptCapLoader, ConceptCapSampleConfig
+        from vilbert_tpu.data.feature_store import InMemoryFeatureStore
+        from vilbert_tpu.data.tokenization import HashTokenizer
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate_pytree,
+        )
+        from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+        from vilbert_tpu.train.optim import build_optimizer
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        cfg = tiny_config.replace(v_target_size=7)
+        tok = HashTokenizer(vocab_size=cfg.vocab_size)
+        store = InMemoryFeatureStore.synthetic(
+            num_images=64, num_boxes=5, feature_dim=cfg.v_feature_size, target_dim=7
+        )
+        captions = {k: f"object number {k} in a scene" for k in store.keys()}
+        loader = ConceptCapLoader(
+            store, captions, tok, batch_size=16,
+            cfg=ConceptCapSampleConfig(
+                seq_len=10, region_len=5, feature_dim=cfg.v_feature_size,
+                target_dim=7,
+            ),
+            seed=0,
+        )
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+        model = ViLBERTForPretraining(cfg)
+        batch0 = next(iter(loader))
+        batch0.pop("image_id")
+        params = model.init(
+            jax.random.PRNGKey(0), batch0["input_ids"], batch0["image_feat"],
+            batch0["image_loc"],
+        )["params"]
+        tx, _ = build_optimizer(
+            OptimizerConfig(learning_rate=5e-3, schedule="constant"), params, 100
+        )
+        state = TrainState.create(params, tx)
+        state = TrainState(*replicate_pytree(tuple(state), mesh))
+        loss_fn = make_pretrain_loss_fn(model, cfg, deterministic=True)
+        step_fn = make_train_step(loss_fn, tx)
+
+        sharding = batch_sharding(mesh)
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for step in range(8):
+            for b in loader:
+                b.pop("image_id", None)
+                b = jax.tree.map(lambda x: jax.device_put(x, sharding), b)
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, b, sub)
+                losses.append(float(metrics["loss"]))
+                break
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        # params remain fully replicated across the 8 devices
+        kernel = state.params["bert"]["t_pooler"]["dense"]["kernel"]
+        assert kernel.sharding.is_fully_replicated
+
+    def test_grad_accum_equivalence(self, tiny_config):
+        """accum=2 over half-batches == accum=1 over the full batch."""
+        import jax
+
+        from vilbert_tpu.core.config import OptimizerConfig
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+        from vilbert_tpu.train.optim import build_optimizer
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        cfg = tiny_config.replace(v_target_size=7)
+        model = ViLBERTForPretraining(cfg)
+        B, T, R = 4, 8, 5
+        rng_np = np.random.RandomState(0)
+        batch = {
+            "input_ids": rng_np.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
+            "image_feat": rng_np.randn(B, R, cfg.v_feature_size).astype(np.float32),
+            "image_loc": rng_np.rand(B, R, 5).astype(np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.full((B, R - 1), 1, np.int32),
+            "image_target": (np.ones((B, R - 1, 7)) / 7).astype(np.float32),
+            "is_next": np.zeros((B,), np.int32),
+        }
+        batch["lm_label_ids"][:, 1] = 5
+        params_np = jax.device_get(
+            model.init(
+                jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+                batch["image_loc"],
+            )["params"]
+        )
+        opt = OptimizerConfig(learning_rate=1e-2, schedule="constant",
+                              weight_decay=0.0)
+        loss_fn = make_pretrain_loss_fn(model, cfg, deterministic=True)
+
+        # the train step donates its input state — give each run fresh buffers
+        params = jax.tree.map(jax.numpy.asarray, params_np)
+        tx1, _ = build_optimizer(opt, params, 10)
+        s1 = TrainState.create(params, tx1)
+        s1, m1 = make_train_step(loss_fn, tx1)(s1, batch, jax.random.PRNGKey(9))
+
+        params = jax.tree.map(jax.numpy.asarray, params_np)
+        tx2, _ = build_optimizer(opt, params, 10)
+        s2 = TrainState.create(params, tx2)
+        micro = jax.tree.map(lambda x: x.reshape(2, 2, *x.shape[1:]), batch)
+        s2, m2 = make_train_step(loss_fn, tx2, grad_accum=2)(
+            s2, micro, jax.random.PRNGKey(9)
+        )
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        k1 = np.asarray(s1.params["bert"]["t_pooler"]["dense"]["kernel"])
+        k2 = np.asarray(s2.params["bert"]["t_pooler"]["dense"]["kernel"])
+        np.testing.assert_allclose(k1, k2, atol=2e-6)

@@ -1,0 +1,262 @@
+"""Conceptual Captions pretraining pipeline.
+
+Host-side rebuild of the reference tensorpack/ZMQ pipeline
+(vilbert/datasets/concept_cap_dataset.py:154-670): per-sample caption
+negative swap, BERT token masking, region masking with IoU>0.4 co-masking,
+padding, and batch assembly with the prepended global image feature.
+
+Design differences (TPU-first):
+- a seeded ``np.random.Generator`` per (epoch, index) instead of global
+  ``random`` state — fully reproducible and shardable across hosts,
+- batches are dicts of numpy arrays (static shapes) handed to a
+  double-buffered device prefetcher (vilbert_tpu.data.prefetch),
+- masking math is vectorized numpy per sample; the multi-worker ZMQ fleet is
+  unnecessary on TPU hosts (and harmful on single-core VMs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from vilbert_tpu.data.boxes import iou
+from vilbert_tpu.data.feature_store import FeatureStore, RegionFeatures
+from vilbert_tpu.data.tokenization import Tokenizer, add_special_single
+
+#: Conceptual Captions train-set size (reference constant,
+#: concept_cap_dataset.py:196)
+CONCEPTUAL_CAPTIONS_TRAIN_SIZE = 3_119_449
+
+
+@dataclass
+class ConceptCapSampleConfig:
+    seq_len: int = 36
+    region_len: int = 36
+    feature_dim: int = 2048
+    target_dim: int = 1601
+    visual_target: int = 0   # 0: soft detector dist; 1/2: feature itself
+    objective: int = 0
+    visualization: bool = False
+
+
+class ConceptCapPreprocessor:
+    """Per-sample preprocessing (reference BertPreprocessBatch,
+    concept_cap_dataset.py:400-670)."""
+
+    def __init__(
+        self,
+        tokenizer: Tokenizer,
+        captions: Sequence[str],
+        cfg: ConceptCapSampleConfig = ConceptCapSampleConfig(),
+    ):
+        self.tokenizer = tokenizer
+        self.captions = list(captions)
+        self.cfg = cfg
+
+    # -- steps --------------------------------------------------------------
+
+    def random_cap(self, caption: str, rng: np.random.Generator):
+        """50% caption swap for the alignment objective
+        (concept_cap_dataset.py:498-515). Returns (caption, is_next) with
+        is_next=1 meaning misaligned."""
+        if self.cfg.visualization:
+            return caption, 0
+        if self.cfg.objective != 2 and rng.random() > 0.5:
+            return self.captions[rng.integers(0, len(self.captions))], 1
+        return caption, 0
+
+    def random_word(self, ids: List[int], rng: np.random.Generator):
+        """BERT 15% masking, 80/10/10 (concept_cap_dataset.py:608-636)."""
+        labels = []
+        for i, token in enumerate(ids):
+            prob = rng.random()
+            if prob < 0.15 and not self.cfg.visualization:
+                prob /= 0.15
+                if prob < 0.8:
+                    ids[i] = self.tokenizer.mask_token_id
+                elif prob < 0.9:
+                    ids[i] = int(rng.integers(0, self.tokenizer.vocab_size))
+                labels.append(token)
+            else:
+                labels.append(-1)
+        return ids, labels
+
+    def random_region(
+        self,
+        image_feat: np.ndarray,
+        num_boxes: int,
+        overlaps: np.ndarray,
+        rng: np.random.Generator,
+    ):
+        """15% region masking, 90% zeroed, with overlap>0.4 co-mask recording
+        (concept_cap_dataset.py:638-670)."""
+        labels = np.full((image_feat.shape[0],), -1, np.int64)
+        masked_label = np.zeros((image_feat.shape[0],), bool)
+        for i in range(num_boxes):
+            prob = rng.random()
+            if prob < 0.15 and not self.cfg.visualization:
+                prob /= 0.15
+                if prob < 0.9:
+                    image_feat[i] = 0
+                masked_label |= overlaps[i] > 0.4
+                labels[i] = 1
+        return image_feat, labels, masked_label
+
+    # -- full sample --------------------------------------------------------
+
+    def __call__(
+        self,
+        rf: RegionFeatures,
+        caption: str,
+        rng: np.random.Generator,
+        image_id: str = "",
+    ) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        n = min(int(rf.features.shape[0]), cfg.region_len)
+
+        image_feature = np.zeros((cfg.region_len, cfg.feature_dim), np.float32)
+        image_location = np.zeros((cfg.region_len, 5), np.float32)
+        image_feature[:n] = rf.features[:n]
+        image_location[:n, 0] = rf.boxes[:n, 0] / rf.image_w
+        image_location[:n, 1] = rf.boxes[:n, 1] / rf.image_h
+        image_location[:n, 2] = rf.boxes[:n, 2] / rf.image_w
+        image_location[:n, 3] = rf.boxes[:n, 3] / rf.image_h
+        # area computed from the zero-padded table like the reference
+        # (concept_cap_dataset.py:445-449)
+        image_location[:, 4] = (
+            (image_location[:, 3] - image_location[:, 1])
+            * (image_location[:, 2] - image_location[:, 0])
+        )
+
+        if cfg.visual_target == 0:
+            image_target = np.zeros((cfg.region_len, cfg.target_dim), np.float32)
+            if rf.target is not None:
+                image_target[:n] = rf.target[:n]
+        else:
+            image_target = image_feature.copy()
+
+        overlaps_full = np.zeros((cfg.region_len, cfg.region_len), np.float32)
+        overlaps_full[:n, :n] = iou(rf.boxes[:n], rf.boxes[:n])
+
+        caption, is_next = self.random_cap(caption, rng)
+        ids = list(self.tokenizer.encode(caption))[: cfg.seq_len - 2]
+        ids, token_labels = self.random_word(ids, rng)
+        image_feature, image_label, masked_label = self.random_region(
+            image_feature, n, overlaps_full, rng
+        )
+
+        lm_label_ids = [-1] + token_labels + [-1]
+        input_ids = add_special_single(self.tokenizer, ids)
+        pad = cfg.seq_len - len(input_ids)
+        input_mask = [1] * len(input_ids) + [0] * pad
+        segment_ids = [0] * cfg.seq_len
+        input_ids = input_ids + [0] * pad
+        lm_label_ids = lm_label_ids + [-1] * pad
+
+        image_mask = np.zeros((cfg.region_len,), np.int64)
+        image_mask[:n] = 1
+
+        return {
+            "input_ids": np.asarray(input_ids, np.int32),
+            "input_mask": np.asarray(input_mask, np.int32),
+            "segment_ids": np.asarray(segment_ids, np.int32),
+            "lm_label_ids": np.asarray(lm_label_ids, np.int32),
+            "is_next": np.asarray(is_next, np.int32),
+            "image_feat": image_feature,
+            "image_loc": image_location,
+            "image_target": image_target,
+            "image_label": image_label.astype(np.int32),
+            "image_mask": image_mask.astype(np.int32),
+            "masked_label": masked_label,
+            "image_id": np.asarray(hash(str(image_id)) % 2**31, np.int32),
+        }
+
+
+def collate_concap(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack samples and prepend the global image feature row (reference
+    ConceptCapLoaderTrain.__iter__, concept_cap_dataset.py:248-267).
+
+    The global feature is sum(features) / count(regions NOT co-masked via
+    masked_label); its location is [0,0,1,1,1] and its mask is 1. After this
+    the batch has region_len+1 rows and image_label for the R-1 real rows.
+    """
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    masked_label = batch.pop("masked_label")
+    sum_count = np.sum(masked_label == 0, axis=1, keepdims=True).astype(np.float32)
+    sum_count[sum_count == 0] = 1
+    g_feat = batch["image_feat"].sum(axis=1) / sum_count
+    b = g_feat.shape[0]
+    batch["image_feat"] = np.concatenate(
+        [g_feat[:, None, :], batch["image_feat"]], axis=1
+    )
+    g_loc = np.tile(np.array([[[0, 0, 1, 1, 1]]], np.float32), (b, 1, 1))
+    batch["image_loc"] = np.concatenate([g_loc, batch["image_loc"]], axis=1)
+    batch["image_mask"] = np.concatenate(
+        [np.ones((b, 1), batch["image_mask"].dtype), batch["image_mask"]], axis=1
+    )
+    return batch
+
+
+class ConceptCapLoader:
+    """Iterable of CC pretraining batches (reference ConceptCapLoaderTrain /
+    Val, concept_cap_dataset.py:154-397).
+
+    Multi-host sharding: pass (shard_id, num_shards) to give each host its
+    slice of the key list — replaces the reference's per-rank LMDB shard
+    convention (concept_cap_dataset.py:198-207).
+    """
+
+    def __init__(
+        self,
+        store: FeatureStore,
+        captions: Dict[str, str],
+        tokenizer: Tokenizer,
+        *,
+        batch_size: int = 512,
+        cfg: ConceptCapSampleConfig = ConceptCapSampleConfig(),
+        shuffle: bool = True,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = True,
+    ):
+        self.store = store
+        self.captions = captions
+        self.preprocessor = ConceptCapPreprocessor(
+            tokenizer, list(captions.values()), cfg
+        )
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        keys = [k for k in store.keys() if k in captions]
+        self.keys = keys[shard_id::num_shards]
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return len(self.keys) // self.batch_size
+        return (len(self.keys) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.keys))
+        epoch_rng = np.random.default_rng((self.seed, self.epoch))
+        if self.shuffle:
+            epoch_rng.shuffle(order)
+        samples = []
+        for idx in order:
+            key = self.keys[idx]
+            rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+            samples.append(
+                self.preprocessor(
+                    self.store.get(key), self.captions[key], rng, image_id=key
+                )
+            )
+            if len(samples) == self.batch_size:
+                yield collate_concap(samples)
+                samples = []
+        if samples and not self.drop_last:
+            yield collate_concap(samples)
+        self.epoch += 1

@@ -1,0 +1,69 @@
+"""Device prefetch: overlap host pipeline with device compute.
+
+Replaces the reference's tensorpack ``PrefetchDataZMQ`` worker fleet +
+``pin_memory``/``cuda(non_blocking=True)`` H2D copies
+(concept_cap_dataset.py:233, task_utils.py:181-187) with a background thread
+that stages the next batches in HBM via ``jax.device_put`` while the current
+step runs — the TPU equivalent of double buffering.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import jax
+
+
+def device_prefetch(
+    iterator: Iterable[Any],
+    *,
+    size: int = 2,
+    sharding: Optional[Any] = None,
+    transform: Optional[Callable[[Any], Any]] = None,
+) -> Iterator[Any]:
+    """Yield batches already placed on device, ``size`` batches ahead.
+
+    Args:
+      iterator: host batch iterable (pytrees of numpy arrays).
+      sharding: optional jax.sharding.Sharding applied to every leaf
+        (e.g. ``batch_sharding(mesh)`` for data parallelism).
+      transform: optional host-side transform applied before device_put.
+    """
+    q: "queue.Queue[Any]" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def put(batch):
+        if transform is not None:
+            batch = transform(batch)
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        except Exception as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def repeat_iterator(make_iter: Callable[[], Iterable[Any]]) -> Iterator[Any]:
+    """Endless stream over re-creatable epochs (reference per-task infinite
+    iterators with epoch reset, task_utils.py:181-186)."""
+    while True:
+        yield from make_iter()

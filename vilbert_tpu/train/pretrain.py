@@ -1,0 +1,152 @@
+"""Conceptual Captions pretraining: loss function + training driver.
+
+Rebuilds the reference train_concap.py main loop (call stack SURVEY.md §3.2)
+as one jit-compiled step over a data-parallel mesh: forward, three pretraining
+losses, backward, optax update — gradient allreduce compiled by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
+from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+from vilbert_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_pytree
+from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+from vilbert_tpu.train.losses import pretrain_losses
+from vilbert_tpu.train.optim import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def make_pretrain_loss_fn(
+    model: ViLBERTForPretraining,
+    cfg: ModelConfig,
+    *,
+    img_weight: float = 1.0,
+    deterministic: bool = False,
+) -> Callable:
+    """loss_fn(params, batch, rng) for make_train_step.
+
+    Replicates the objective handling of the reference loop
+    (train_concap.py:535-559): objective==1 clears LM/region labels of
+    misaligned pairs; objective==2 drops the alignment loss.
+    """
+
+    def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array):
+        drop_rng, nce_rng = jax.random.split(rng)
+        out = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["image_feat"],
+            batch["image_loc"],
+            batch["segment_ids"],
+            batch["input_mask"],
+            batch["image_mask"],
+            deterministic=deterministic,
+            rngs={} if deterministic else {"dropout": drop_rng},
+        )
+        lm_labels = batch["lm_label_ids"]
+        image_label = batch["image_label"]
+        if cfg.objective == 1:
+            aligned = (batch["is_next"] == 0)[:, None]
+            lm_labels = jnp.where(aligned, lm_labels, -1)
+            image_label = jnp.where(aligned, image_label, -1)
+
+        losses = pretrain_losses(
+            out,
+            lm_labels,
+            image_label,
+            batch["image_target"],
+            batch["is_next"],
+            visual_target=cfg.visual_target,
+            num_negative=cfg.num_negative,
+            rng=nce_rng,
+        )
+        nsp = losses.next_sentence_loss
+        if cfg.objective == 2:
+            nsp = nsp * 0.0
+        loss = losses.masked_lm_loss + losses.masked_img_loss * img_weight + nsp
+        metrics = {
+            "masked_loss_t": losses.masked_lm_loss,
+            "masked_loss_v": losses.masked_img_loss,
+            "next_sentence_loss": losses.next_sentence_loss,
+        }
+        return loss, metrics
+
+    return loss_fn
+
+
+def run_pretraining(
+    model_cfg: ModelConfig,
+    opt_cfg: OptimizerConfig,
+    train_loader: Iterable[Dict[str, Any]],
+    *,
+    num_steps: int,
+    seed: int = 0,
+    img_weight: float = 1.0,
+    grad_accum: int = 1,
+    mesh=None,
+    init_params=None,
+    log_every: int = 20,
+    val_loader: Optional[Iterable] = None,
+    hooks: Optional[list] = None,
+) -> TrainState:
+    """Minimal pretraining driver; CLI wiring lives in cli/train_concap.py."""
+    from vilbert_tpu.data.prefetch import device_prefetch, repeat_iterator
+
+    mesh = mesh or make_mesh()
+    model = ViLBERTForPretraining(model_cfg)
+    rng = jax.random.PRNGKey(seed)
+
+    batches = repeat_iterator(lambda: iter(train_loader))
+    first = next(batches)
+    if init_params is None:
+        init_rng, rng = jax.random.split(rng)
+        init_params = model.init(
+            init_rng,
+            first["input_ids"],
+            first["image_feat"],
+            first["image_loc"],
+            first["segment_ids"],
+            first["input_mask"],
+            first["image_mask"],
+        )["params"]
+
+    tx, schedule = build_optimizer(opt_cfg, init_params, num_steps)
+    state = TrainState.create(init_params, tx)
+    state = TrainState(*replicate_pytree(tuple(state), mesh))
+
+    loss_fn = make_pretrain_loss_fn(model, model_cfg, img_weight=img_weight)
+    step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum)
+
+    sharding = batch_sharding(mesh)
+    import itertools
+
+    stream = device_prefetch(
+        itertools.chain([first], batches), sharding=sharding, size=2
+    )
+    t0 = time.perf_counter()
+    for step in range(num_steps):
+        batch = next(stream)
+        batch.pop("image_id", None)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, step_rng)
+        if log_every and (step + 1) % log_every == 0:
+            metrics = jax.device_get(metrics)
+            dt = time.perf_counter() - t0
+            logger.info(
+                "step %d loss %.4f (t %.4f v %.4f nsp %.4f) lr %.2e %.2f it/s",
+                step + 1, metrics["loss"], metrics["masked_loss_t"],
+                metrics["masked_loss_v"], metrics["next_sentence_loss"],
+                float(schedule(step)), log_every / dt,
+            )
+            t0 = time.perf_counter()
+        for hook in hooks or ():
+            hook(step, state, metrics)
+    return state
