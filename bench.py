@@ -31,11 +31,15 @@ BATCH = 256          # per chip; reference global batch 512 over 8 GPUs = 64/GPU
 SEQ = 36
 REGIONS = 37         # 36 + global feature row
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 30
 
 
 def main() -> None:
     import jax
+
+    from vilbert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
     from vilbert_tpu.models.vilbert import ViLBERTForPretraining
@@ -90,14 +94,17 @@ def main() -> None:
     for i in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: fetch the scalar, don't trust block_until_ready — on relayed
+    # PJRT backends it can return before the chain actually executes.
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # forces the whole step chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     n_chips = jax.device_count()
     samples_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips

@@ -20,6 +20,10 @@ import jax
 # from a pre-conftest environment — force it programmatically too.
 jax.config.update("jax_platforms", "cpu")
 
+from vilbert_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache("/tmp/vilbert_tpu_jax_cache_cpu")
+
 import numpy as np
 import pytest
 

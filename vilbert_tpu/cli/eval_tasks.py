@@ -1,0 +1,93 @@
+"""CLI: per-task evaluation + submission files (mirrors reference
+eval_tasks.py).
+
+  python -m vilbert_tpu.cli.eval_tasks \\
+      --config configs/bert_base_6layer_6conect.json \\
+      --tasks_yml configs/tasks.yml --tasks 1 \\
+      --params checkpoints/multitask/params_final.npz --output_dir results/
+
+  # smoke test: --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="configs/bert_base_6layer_6conect.json")
+    p.add_argument("--tasks_yml", default="configs/tasks.yml")
+    p.add_argument("--tasks", default="1")
+    p.add_argument("--params", default="", help=".npz or torch .bin checkpoint")
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--split", default="val")
+    p.add_argument("--task_specific_tokens", action="store_true")
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args(argv)
+
+    from vilbert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from vilbert_tpu.core.config import ModelConfig, load_task_configs
+    from vilbert_tpu.eval.evaluators import evaluate_task, save_results
+    from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+
+    model_cfg = ModelConfig.from_json_file(
+        args.config,
+        task_specific_tokens=args.task_specific_tokens,
+        use_pallas_attention=args.use_pallas,
+    )
+    all_tasks = load_task_configs(args.tasks_yml)
+    selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}
+
+    if args.synthetic:
+        from vilbert_tpu.cli.train_tasks import _synthetic_world
+
+        loaders = _synthetic_world(selected, model_cfg.vocab_size)
+    else:
+        raise NotImplementedError(
+            "real-dataset loading requires the dataset artifacts; "
+            "use --synthetic for a smoke run"
+        )
+
+    model = ViLBERTForVLTasks(model_cfg)
+    first = next(iter(next(iter(loaders.values()))))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        first["question"].reshape(-1, first["question"].shape[-1]),
+        first["features"].reshape(-1, *first["features"].shape[-2:]),
+        first["spatials"].reshape(-1, *first["spatials"].shape[-2:]),
+    )["params"]
+    if args.params:
+        if args.params.endswith(".npz"):
+            from vilbert_tpu.core.checkpoint import load_params
+
+            params = load_params(args.params)
+        else:
+            from vilbert_tpu.core.checkpoint import load_pretrained_torch
+
+            params, report = load_pretrained_torch(args.params, params)
+            logging.info("loaded %d params (%d missing)", len(report.loaded),
+                         len(report.missing))
+
+    for key, task in selected.items():
+        metrics, results = evaluate_task(
+            model, model_cfg, task, params, loaders[key]
+        )
+        logging.info("%s: loss %.4f score %.4f (%d samples)",
+                     key, metrics["loss"], metrics["score"],
+                     metrics["num_samples"])
+        if results:
+            path = save_results(results, args.output_dir, task.name, args.split)
+            logging.info("wrote %s", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""CLI: Conceptual Captions pretraining (mirrors reference train_concap.py).
+
+Example:
+  python -m vilbert_tpu.cli.train_concap \\
+      --config configs/bert_base_6layer_6conect.json \\
+      --train_store data/cc_train.vfr --captions data/caption_train.json \\
+      --vocab data/vocab.txt --batch_size 512 --num_epochs 10
+
+  # smoke test without data artifacts:
+  python -m vilbert_tpu.cli.train_concap --synthetic --num_steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="configs/bert_base_6layer_6conect.json")
+    p.add_argument("--train_store", default="", help=".vfr/.lmdb region features")
+    p.add_argument("--captions", default="", help="caption json {image_id: text}")
+    p.add_argument("--vocab", default="", help="WordPiece vocab.txt")
+    p.add_argument("--from_pretrained", default="", help="torch .bin or .npz params")
+    p.add_argument("--output_dir", default="checkpoints/concap")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--num_steps", type=int, default=0, help="override step count")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--seq_len", type=int, default=36)
+    p.add_argument("--region_len", type=int, default=36)
+    p.add_argument("--img_weight", type=float, default=1.0)
+    p.add_argument("--objective", type=int, default=0)
+    p.add_argument("--visual_target", type=int, default=0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--pretrained_lr_scale", type=float, default=1.0,
+                   help="lr multiplier for loaded BERT params (reference 0.1)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shard_id", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from vilbert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
+    from vilbert_tpu.data.concap import (
+        CONCEPTUAL_CAPTIONS_TRAIN_SIZE,
+        ConceptCapLoader,
+        ConceptCapSampleConfig,
+    )
+    from vilbert_tpu.data.feature_store import (
+        InMemoryFeatureStore, open_feature_store,
+    )
+    from vilbert_tpu.data.tokenization import load_tokenizer
+    from vilbert_tpu.train.pretrain import run_pretraining
+
+    model_cfg = ModelConfig.from_json_file(
+        args.config,
+        objective=args.objective,
+        visual_target=args.visual_target,
+        use_pallas_attention=args.use_pallas,
+    )
+    tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
+
+    if args.synthetic:
+        store = InMemoryFeatureStore.synthetic(num_images=256, num_boxes=36)
+        captions = {k: f"a synthetic caption about image {k}" for k in store.keys()}
+        dataset_size = 256
+    else:
+        assert args.train_store and args.captions, "--train_store/--captions required"
+        store = open_feature_store(args.train_store)
+        captions = json.load(open(args.captions))
+        dataset_size = len(store.keys())
+
+    loader = ConceptCapLoader(
+        store, captions, tokenizer,
+        batch_size=args.batch_size // args.num_shards,
+        cfg=ConceptCapSampleConfig(
+            seq_len=args.seq_len, region_len=args.region_len,
+            feature_dim=model_cfg.v_feature_size,
+            target_dim=model_cfg.v_target_size,
+            visual_target=args.visual_target, objective=args.objective,
+        ),
+        seed=args.seed, shard_id=args.shard_id, num_shards=args.num_shards,
+    )
+
+    steps_per_epoch = max(dataset_size // args.batch_size, 1)
+    num_steps = args.num_steps or steps_per_epoch * args.num_epochs
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate,
+        warmup_proportion=args.warmup_proportion,
+        schedule="warmup_linear",
+        beta2=0.98,  # reference AdamW betas for concap (train_concap.py:467)
+        pretrained_lr_scale=args.pretrained_lr_scale,
+    )
+
+    init_params = None
+    if args.from_pretrained:
+        import jax
+
+        from vilbert_tpu.core.checkpoint import load_params, load_pretrained_torch
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+
+        model = ViLBERTForPretraining(model_cfg)
+        batch0 = next(iter(loader))
+        template = model.init(
+            jax.random.PRNGKey(0), batch0["input_ids"], batch0["image_feat"],
+            batch0["image_loc"],
+        )["params"]
+        if args.from_pretrained.endswith(".npz"):
+            init_params = load_params(args.from_pretrained)
+        else:
+            init_params, report = load_pretrained_torch(
+                args.from_pretrained, template
+            )
+            logging.info("loaded %d params (%d missing, %d unexpected)",
+                         len(report.loaded), len(report.missing),
+                         len(report.unexpected))
+
+    state = run_pretraining(
+        model_cfg, opt_cfg, loader,
+        num_steps=num_steps, seed=args.seed, img_weight=args.img_weight,
+        grad_accum=args.gradient_accumulation_steps, init_params=init_params,
+    )
+
+    from vilbert_tpu.core.checkpoint import save_params
+
+    save_params(f"{args.output_dir}/params_final.npz", state.params)
+    logging.info("saved %s/params_final.npz", args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""CLI: 12-in-1 multi-task fine-tuning (mirrors reference train_tasks.py).
+
+Example (flagship recipe, reference README.md:67):
+  python -m vilbert_tpu.cli.train_tasks \\
+      --config configs/bert_base_6layer_6conect.json \\
+      --tasks_yml configs/tasks.yml --tasks 1-2-4-7-8-9-10-11-12-13-15-17 \\
+      --from_pretrained pretrained_model.bin --task_specific_tokens
+
+  # smoke test without data artifacts:
+  python -m vilbert_tpu.cli.train_tasks --synthetic --tasks 1-12 --num_epochs 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="configs/bert_base_6layer_6conect.json")
+    p.add_argument("--tasks_yml", default="configs/tasks.yml")
+    p.add_argument("--tasks", default="1", help="dash-separated task numbers")
+    p.add_argument("--from_pretrained", default="")
+    p.add_argument("--vocab", default="")
+    p.add_argument("--output_dir", default="checkpoints/multitask")
+    p.add_argument("--num_epochs", type=int, default=0, help="0 = max task epochs")
+    p.add_argument("--learning_rate", type=float, default=0.0,
+                   help="0 = min of per-task lrs (reference behavior)")
+    p.add_argument("--head_lr", type=float, default=1e-4,
+                   help="lr for task heads (train_tasks.py:379-398)")
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--lr_scheduler", default="warmup_linear",
+                   choices=["warmup_linear", "warmup_constant", "constant"])
+    p.add_argument("--optim", default="adamw", choices=["adamw", "radam"])
+    p.add_argument("--freeze", default="", help="param path prefix to freeze")
+    p.add_argument("--train_iter_gap", type=int, default=4)
+    p.add_argument("--task_specific_tokens", action="store_true")
+    p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    return p
+
+
+def _synthetic_world(task_cfgs, tokenizer_vocab):
+    """Synthetic loaders for the selected tasks (tests/dev machines)."""
+    from vilbert_tpu.data import synthetic as syn
+    from vilbert_tpu.data.tasks import DATASET_REGISTRY, DataLoader
+    from vilbert_tpu.data.tokenization import HashTokenizer
+
+    tok = HashTokenizer(tokenizer_vocab)
+    store = syn.synthetic_store(num_images=16, num_boxes=8, feature_dim=2048)
+    loaders = {}
+    for key, t in task_cfgs.items():
+        mk = dict(tokenizer=tok, max_seq_length=t.max_seq_length,
+                  max_region_num=min(t.max_region_num, 20))
+        cls = DATASET_REGISTRY[t.name]
+        if t.type in ("VL-classifier", "VL-classifier-GQA"):
+            ds = cls(syn.vqa_annotations(num=16, num_labels=3129), store,
+                     num_labels=3129, **mk)
+        elif t.type == "VL-logit" and t.process == "expand":
+            ds = cls(syn.expand_annotations(num=8), store, **mk)
+        elif t.type == "VL-logit":
+            ds = cls(syn.retrieval_annotations(num=8), store, **mk)
+        elif t.type == "V-logit":
+            ds = cls(syn.grounding_annotations(store, num=16), store, **mk)
+        elif t.type == "V-logit-mc":
+            mk["max_region_num"] = 108
+            ds = cls(syn.pointing_annotations(store, num=8), store, **mk)
+        elif t.type == "VL-binary-classifier" and t.process == "nlvr":
+            ds = cls(syn.nlvr2_annotations(num=8), store, **mk)
+        else:
+            ds = DATASET_REGISTRY["VisualEntailment"](
+                syn.classification_annotations(num=16), store, **mk
+            )
+        loaders[key] = DataLoader(ds, batch_size=min(t.batch_size, 4), seed=0)
+    return loaders
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from vilbert_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vilbert_tpu.core.config import (
+        ModelConfig, OptimizerConfig, TrainConfig, load_task_configs,
+    )
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    model_cfg = ModelConfig.from_json_file(
+        args.config,
+        task_specific_tokens=args.task_specific_tokens,
+        dynamic_attention=args.dynamic_attention,
+        use_pallas_attention=args.use_pallas,
+    )
+    all_tasks = load_task_configs(args.tasks_yml)
+    selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}
+
+    if args.synthetic:
+        loaders = _synthetic_world(selected, model_cfg.vocab_size)
+    else:
+        raise NotImplementedError(
+            "real-dataset loading requires the dataset artifacts; use "
+            "vilbert_tpu.data.tasks.DATASET_REGISTRY with your annotation "
+            "loaders, or --synthetic for a smoke run"
+        )
+
+    opt_cfg = OptimizerConfig(
+        name=args.optim,
+        learning_rate=args.learning_rate or min(t.lr for t in selected.values()),
+        schedule=args.lr_scheduler,
+        warmup_proportion=args.warmup_proportion,
+        head_lr=args.head_lr,
+    )
+    trainer = MultiTaskTrainer(
+        model_cfg, selected, loaders,
+        opt_cfg=opt_cfg,
+        train_cfg=TrainConfig(freeze_prefix=args.freeze,
+                              train_iter_gap=args.train_iter_gap),
+        seed=args.seed,
+    )
+    epochs = args.num_epochs or max(t.num_epoch for t in selected.values())
+    state = trainer.train(epochs)
+
+    from vilbert_tpu.core.checkpoint import save_params
+
+    save_params(f"{args.output_dir}/params_final.npz", state.params)
+    logging.info("saved %s/params_final.npz", args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,329 @@
+"""12-in-1 multi-task training orchestration.
+
+Rebuilds the reference train_tasks.py + task_utils.py machinery (call stack
+SURVEY.md §3.1) TPU-first:
+
+- each task gets its OWN compiled train step — static shapes per
+  (seq_len, region_len, process-mode, head-type) bucket; the reference
+  instead runs one model computing all 7 heads every step
+  (vilbert.py:1684-1695),
+- the process-mode reshapes (dialog/expand/retrieval/nlvr,
+  task_utils.py:199-310) happen inside jit as static reshapes,
+- per-task loss scaling lr_t/base_lr (train_tasks.py:239-251,:536),
+- round-robin over tasks each iteration with MultiTaskStopOnPlateau gating
+  (train_tasks.py:516-521),
+- one optax optimizer over shared params; the LR schedule advances per
+  task-update with total_steps scaled by the task count, matching the
+  reference's per-iteration warmup shape (train_tasks.py:541-559 advances
+  warmup once per iteration while stepping the optimizer once per task).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vilbert_tpu.core.config import ModelConfig, OptimizerConfig, TaskConfig, TrainConfig
+from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+from vilbert_tpu.train.controllers import MultiTaskStopController
+from vilbert_tpu.train.losses import task_loss_and_score
+from vilbert_tpu.train.optim import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+#: head used per task type (reference task_utils.py:325-374)
+HEAD_FOR_TYPE = {
+    "VL-classifier": "vil_prediction",
+    "VL-classifier-GQA": "vil_prediction_gqa",
+    "VL-logit": "vil_logit",
+    "V-logit": "vision_logit",
+    "V-logit-mc": "vision_logit",
+    "VL-binary-classifier": "vil_binary_prediction",
+    "VL-tri-classifier": "vil_tri_prediction",
+}
+
+#: rows to skip before gathering mc options: the 100 detector boxes + global
+#: row (reference task_utils.py:353 ``vision_logit[:, 101:]``)
+MC_REGION_OFFSET = 101
+
+
+def process_batch(process: str, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Static process-mode reshapes (reference task_utils.py:199-310).
+
+    Input tensors follow the dataset contract; output is a flat [B', ...]
+    batch ready for the model, plus "num_options" left in the dict host-side.
+    """
+    b = dict(batch)
+    feats, question = b["features"], b["question"]
+    if process == "normal":
+        return b
+    if process in ("expand", "dialog"):
+        # question [B, (rounds,) N, T] with one image per sample
+        q = question.reshape(-1, question.shape[-1])
+        n_opt = q.shape[0] // feats.shape[0]
+        b["features"] = jnp.repeat(feats, n_opt, axis=0)
+        b["spatials"] = jnp.repeat(b["spatials"], n_opt, axis=0)
+        b["image_mask"] = jnp.repeat(b["image_mask"], n_opt, axis=0)
+        b["question"] = q
+        b["input_mask"] = b["input_mask"].reshape(-1, q.shape[-1])
+        b["segment_ids"] = b["segment_ids"].reshape(-1, q.shape[-1])
+        if b.get("target") is not None and b["target"].ndim > 1:
+            b["target"] = b["target"].reshape(-1)
+        return b
+    if process == "retrieval":
+        # every field carries its own [B, 4, ...] axis
+        for k in ("features", "spatials", "image_mask", "question",
+                  "input_mask", "segment_ids"):
+            v = b[k]
+            b[k] = v.reshape(-1, *v.shape[2:])
+        return b
+    if process == "nlvr":
+        # [B, 2R, D] image pair -> [2B, R, D]; text repeated per image
+        bsz, two_r = feats.shape[0], feats.shape[1]
+        r = two_r // 2
+        b["features"] = feats.reshape(bsz * 2, r, feats.shape[2])
+        b["spatials"] = b["spatials"].reshape(bsz * 2, r, b["spatials"].shape[2])
+        b["image_mask"] = b["image_mask"].reshape(bsz * 2, r)
+        for k in ("question", "input_mask", "segment_ids"):
+            b[k] = jnp.repeat(b[k], 2, axis=0)
+        return b
+    raise ValueError(process)
+
+
+def make_task_loss_fn(
+    model: ViLBERTForVLTasks,
+    model_cfg: ModelConfig,
+    task: TaskConfig,
+    *,
+    deterministic: bool = False,
+) -> Callable:
+    """loss_fn(params, batch, rng) computing this task's loss + batch score."""
+    head = HEAD_FOR_TYPE[task.type]
+    task_token_id = task.task_id
+
+    def loss_fn(params, batch, rng):
+        orig_batch_size = batch["features"].shape[0]
+        p = process_batch(task.process, batch)
+        model_batch = p["question"].shape[0]
+        task_ids = None
+        if model_cfg.task_specific_tokens:
+            task_ids = jnp.full((model_batch, 1), task_token_id, jnp.int32)
+        out = model.apply(
+            {"params": params},
+            p["question"],
+            p["features"],
+            p["spatials"],
+            p["segment_ids"],
+            p["input_mask"],
+            p["image_mask"],
+            p.get("co_attention_mask"),
+            task_ids,
+            heads=(head,),
+            deterministic=deterministic,
+            rngs={} if deterministic else {"dropout": rng},
+        )
+        logits = getattr(out, head)
+        target = p["target"]
+
+        if task.type == "VL-logit":
+            # rank options: [B*N, 1] -> [B, N] (task_utils.py:339-343)
+            logits = logits.reshape(orig_batch_size, -1)
+        elif task.type == "V-logit-mc":
+            # gather option rows past the detector block (task_utils.py:352-360)
+            mc = p["multiple_choice_ids"]
+            logits = jnp.take_along_axis(
+                logits[:, MC_REGION_OFFSET:, 0], mc, axis=1
+            )[..., None]
+        loss, score = task_loss_and_score(task.type, logits, target)
+        return loss, {"score": score}
+
+    return loss_fn
+
+
+@dataclass
+class TaskRuntime:
+    key: str
+    cfg: TaskConfig
+    loader: Any                      # train DataLoader
+    val_loader: Optional[Any]
+    loss_scale: float
+    step_fn: Callable
+    eval_loss_fn: Callable
+    iterator: Iterator = None
+    num_iters: int = 0
+
+    def next_batch(self):
+        if self.iterator is None:
+            self.iterator = iter(self.loader)
+        try:
+            return next(self.iterator)
+        except StopIteration:
+            self.iterator = iter(self.loader)
+            return next(self.iterator)
+
+
+class MultiTaskTrainer:
+    """Round-robin multi-task driver (reference train_tasks.py:510-610)."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        tasks: Dict[str, TaskConfig],
+        loaders: Dict[str, Any],
+        *,
+        opt_cfg: Optional[OptimizerConfig] = None,
+        train_cfg: Optional[TrainConfig] = None,
+        val_loaders: Optional[Dict[str, Any]] = None,
+        num_labels: int = 3129,
+        init_params=None,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.model = ViLBERTForVLTasks(model_cfg, num_labels=num_labels)
+        self.train_cfg = train_cfg or TrainConfig()
+        val_loaders = val_loaders or {}
+
+        # per-task LR -> base lr + loss scales (train_tasks.py:239-251)
+        base_lr = min(t.lr for t in tasks.values())
+        self.loss_scales = {k: t.lr / base_lr for k, t in tasks.items()}
+        self.opt_cfg = (opt_cfg or OptimizerConfig()).__class__(
+            **{**(opt_cfg or OptimizerConfig()).__dict__, "learning_rate": base_lr}
+        )
+
+        # median task length defines the iteration count per epoch
+        # (train_tasks.py:333-354)
+        lens = [len(l) for l in loaders.values()]
+        self.median_num_iter = int(np.median(lens)) if lens else 0
+
+        self.rng = jax.random.PRNGKey(seed)
+        first_key = next(iter(tasks))
+        first_batch = next(iter(loaders[first_key]))
+        if init_params is None:
+            init_rng, self.rng = jax.random.split(self.rng)
+            p = process_batch(tasks[first_key].process, first_batch)
+            task_ids = (
+                np.zeros((p["question"].reshape(-1, p["question"].shape[-1]).shape[0], 1), np.int32)
+                if model_cfg.task_specific_tokens else None
+            )
+            init_params = self.model.init(
+                init_rng,
+                np.asarray(p["question"]).reshape(-1, p["question"].shape[-1]),
+                np.asarray(p["features"]).reshape(-1, *p["features"].shape[-2:]),
+                np.asarray(p["spatials"]).reshape(-1, *p["spatials"].shape[-2:]),
+                task_ids=task_ids,
+            )["params"]
+        self.params0 = init_params
+
+        epochs = max(t.num_epoch for t in tasks.values())
+        total_updates = self.median_num_iter * epochs * max(len(tasks), 1) or 1000
+        self.tx, self.schedule = build_optimizer(
+            self.opt_cfg, init_params, total_updates,
+            freeze_prefix=self.train_cfg.freeze_prefix,
+        )
+        self.state = TrainState.create(init_params, self.tx)
+
+        self.tasks: Dict[str, TaskRuntime] = {}
+        for key, tcfg in tasks.items():
+            loss_fn = make_task_loss_fn(self.model, model_cfg, tcfg)
+            eval_loss_fn = make_task_loss_fn(
+                self.model, model_cfg, tcfg, deterministic=True
+            )
+            self.tasks[key] = TaskRuntime(
+                key=key,
+                cfg=tcfg,
+                loader=loaders[key],
+                val_loader=val_loaders.get(key),
+                loss_scale=self.loss_scales[key],
+                step_fn=make_train_step(
+                    loss_fn, self.tx, loss_scale=self.loss_scales[key]
+                ),
+                eval_loss_fn=jax.jit(eval_loss_fn),
+                num_iters=len(loaders[key]),
+            )
+        self.controller = MultiTaskStopController(
+            list(tasks), train_iter_gap=self.train_cfg.train_iter_gap
+        )
+        self.global_step = 0
+        self.metrics_history: List[Dict] = []
+
+    # -- loops --------------------------------------------------------------
+
+    def train_iteration(self, iter_id: int) -> Dict[str, Dict[str, float]]:
+        """One round-robin pass over all tasks (train_tasks.py:513-570)."""
+        out = {}
+        for key, task in self.tasks.items():
+            if not self.controller.should_train(key, iter_id):
+                continue
+            batch = task.next_batch()
+            batch = {k: v for k, v in batch.items() if k != "question_id"}
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = task.step_fn(self.state, batch, sub)
+            out[key] = metrics
+        self.global_step += 1
+        return out
+
+    def evaluate(self, key: str, max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Full val pass for one task; feeds the stop controller
+        (train_tasks.py:639-668)."""
+        task = self.tasks[key]
+        assert task.val_loader is not None, f"no val loader for {key}"
+        tot_loss = tot_score = n = 0.0
+        for i, batch in enumerate(task.val_loader):
+            if max_batches and i >= max_batches:
+                break
+            batch = {k: v for k, v in batch.items() if k != "question_id"}
+            loss, metrics = task.eval_loss_fn(
+                self.state.params, batch, jax.random.PRNGKey(0)
+            )
+            tot_loss += float(loss)
+            tot_score += float(metrics["score"])
+            n += 1
+        result = {"loss": tot_loss / max(n, 1), "score": tot_score / max(n, 1)}
+        self.controller.step(key, result["score"])
+        return result
+
+    def train(
+        self,
+        num_epochs: int,
+        *,
+        eval_every_epoch: bool = True,
+        lr_drop_epochs: Tuple[int, ...] = (5, 7),
+        log_every: int = 20,
+        hooks: Optional[list] = None,
+    ):
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            for it in range(self.median_num_iter):
+                metrics = self.train_iteration(it)
+                if log_every and (it + 1) % log_every == 0:
+                    line = " ".join(
+                        f"{k}:{float(m['loss']):.3f}/{float(m['score']):.3f}"
+                        for k, m in metrics.items()
+                    )
+                    logger.info("epoch %d it %d %s", epoch, it + 1, line)
+                for hook in hooks or ():
+                    hook(epoch, it, self.state, metrics)
+            if eval_every_epoch:
+                for key, task in self.tasks.items():
+                    if task.val_loader is not None:
+                        r = self.evaluate(key)
+                        logger.info(
+                            "epoch %d eval %s loss %.4f score %.4f in_stop=%s",
+                            epoch, key, r["loss"], r["score"],
+                            self.controller.controllers[key].in_stop,
+                        )
+            if epoch in lr_drop_epochs:
+                # reference resets all stop controllers on LR-drop epochs
+                # (train_tasks.py:607-610)
+                self.controller.reset_all()
+            logger.info(
+                "epoch %d done in %.1fs", epoch, time.perf_counter() - t0
+            )
+        return self.state
