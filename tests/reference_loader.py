@@ -57,7 +57,13 @@ def load_reference_vilbert():
         sys.path.insert(0, _REFERENCE_PATH)
     import importlib
 
-    return importlib.import_module("vilbert.vilbert")
+    mod = importlib.import_module("vilbert.vilbert")
+    # basebert.py imports BertConfig from pytorch_transformers (absent);
+    # the reference's own BertConfig is a superset — stub it through.
+    pt = _stub("pytorch_transformers")
+    mb = _stub("pytorch_transformers.modeling_bert", BertConfig=mod.BertConfig)
+    pt.modeling_bert = mb
+    return mod
 
 
 def torch_state_dict_to_numpy(model):

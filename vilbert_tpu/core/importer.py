@@ -65,6 +65,22 @@ _REWRITES: Tuple[Tuple[re.Pattern, str], ...] = tuple(
     ]
 )
 
+#: extra rewrites for the single-stream baseline (vilbert/basebert.py) whose
+#: module names collide with different two-stream destinations
+_BASEBERT_REWRITES: Tuple[Tuple[re.Pattern, str], ...] = tuple(
+    (re.compile(p), r)
+    for p, r in [
+        (r"(^|\.)encoder\.layer\.(\d+)\.", r"\1layer_\2."),
+        (r"(^|\.)pooler\.dense\.", r"\1pooler_dense."),
+        (r"^cls\.predictions\.", "predictions."),
+        (r"^cls\.seq_relationship\.", "seq_relationship."),
+        (r"^cls\.imagePredictions\.transform\.", "image_transform."),
+        (r"^cls\.imagePredictions\.decoder\.", "image_decoder."),
+        (r"^vil_prediction\.main\.0\.", "vil_prediction_1."),
+        (r"^vil_prediction\.main\.3\.", "vil_prediction_2."),
+    ]
+)
+
 #: modules whose .weight is an embedding table (no transpose, leaf name
 #: becomes "embedding")
 _EMBED_RE = re.compile(
@@ -81,11 +97,14 @@ class ImportReport(NamedTuple):
     unexpected: List[str]   # torch keys with no destination
 
 
-def _to_flax_key(torch_key: str) -> str | None:
+def _to_flax_key(torch_key: str, family: str = "vilbert") -> str | None:
     for pat in _SKIP_PATTERNS:
         if pat.search(torch_key):
             return None
     key = torch_key
+    if family == "basebert":
+        for pat, repl in _BASEBERT_REWRITES:
+            key = pat.sub(repl, key)
     for pat, repl in _REWRITES:
         key = pat.sub(repl, key)
     if _EMBED_RE.search(key):
@@ -96,10 +115,32 @@ def _to_flax_key(torch_key: str) -> str | None:
     return key
 
 
-def _needs_transpose(torch_key: str) -> bool:
-    if _EMBED_RE.search(torch_key) or _LN_RE.search(_to_flax_key(torch_key) or ""):
+def _needs_transpose(torch_key: str, family: str = "vilbert") -> bool:
+    if _EMBED_RE.search(torch_key) or _LN_RE.search(
+        _to_flax_key(torch_key, family) or ""
+    ):
         return False
     return torch_key.endswith(".weight")
+
+
+def _fold_weight_norm(state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold torch weight_norm (weight_g, weight_v) pairs into plain weights.
+
+    The reference basebert SimpleClassifier uses weight_norm(dim=None)
+    (basebert.py:965-978): w = g * v / ||v||_F with scalar g.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        if k.endswith(".weight_g"):
+            continue
+        if k.endswith(".weight_v"):
+            base = k[: -len("weight_v")]
+            g = np.asarray(state_dict[base + "weight_g"], np.float64)
+            vv = np.asarray(v, np.float64)
+            out[base + "weight"] = (g * vv / np.linalg.norm(vv)).astype(np.float32)
+        else:
+            out[k] = v
+    return out
 
 
 def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
@@ -130,6 +171,7 @@ def import_torch_state_dict(
     *,
     dtype=np.float32,
     strict: bool = False,
+    family: str = "vilbert",
 ) -> Tuple[Dict[str, Any], ImportReport]:
     """Convert a torch state_dict (numpy arrays) into a flax params dict.
 
@@ -146,11 +188,12 @@ def import_torch_state_dict(
       skipped by design and not reported as unexpected.
     """
     target_flat = _flatten(target_params)
+    state_dict = _fold_weight_norm(state_dict)
     # Checkpoints for BertModel alone have no "bert." prefix while full-model
     # checkpoints do; detect by intersection (reference base_model_prefix
     # logic, utils.py:978-996).
     sample = [k for k in state_dict if not any(p.search(k) for p in _SKIP_PATTERNS)]
-    mapped = {k: _to_flax_key(k) for k in sample}
+    mapped = {k: _to_flax_key(k, family) for k in sample}
     hits = sum(1 for v in mapped.values() if v in target_flat)
     add_prefix = ""
     strip_prefix = ""
@@ -166,7 +209,7 @@ def import_torch_state_dict(
     new_flat = dict(target_flat)
     loaded, unexpected = [], []
     for tkey, arr in state_dict.items():
-        fkey = _to_flax_key(tkey)
+        fkey = _to_flax_key(tkey, family)
         if fkey is None:
             continue
         if add_prefix:
@@ -177,7 +220,7 @@ def import_torch_state_dict(
             unexpected.append(tkey)
             continue
         value = np.asarray(arr, dtype=dtype)
-        if _needs_transpose(tkey):
+        if _needs_transpose(tkey, family):
             value = value.T
         if value.shape != tuple(np.shape(target_flat[fkey])):
             raise ValueError(
