@@ -1,0 +1,332 @@
+"""Annotation-file loaders for the reference dataset artifacts.
+
+Each loader parses the SAME files the reference datasets consume and returns
+neutral ``Annotation`` records for vilbert_tpu.data.tasks. Formats cited per
+function. All loaders are pure functions of file paths (no LMDB access here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vilbert_tpu.data.tasks import Annotation
+
+
+def _jsonlines(path: str):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def load_vqa(
+    dataroot: str, split: str = "train"
+) -> List[Annotation]:
+    """VQA v2: questions json {"questions":[{question_id,image_id,question}]}
+    + cached soft targets cache/<split>_target.pkl with
+    {question_id,image_id,labels,scores} (reference vqa_dataset.py:37-157)."""
+    name = {"train": "train2014", "val": "val2014", "test": "test2015"}.get(
+        split, split
+    )
+    qpath = os.path.join(
+        dataroot, f"v2_OpenEnded_mscoco_{name}_questions.json"
+    )
+    questions = sorted(
+        json.load(open(qpath))["questions"], key=lambda x: x["question_id"]
+    )
+    out = []
+    target_path = os.path.join(dataroot, "cache", f"{split}_target.pkl")
+    if os.path.exists(target_path):
+        answers = sorted(
+            pickle.load(open(target_path, "rb")), key=lambda x: x["question_id"]
+        )
+        for q, a in zip(questions, answers):
+            assert q["question_id"] == a["question_id"]
+            out.append(
+                Annotation(
+                    question_id=q["question_id"],
+                    image_id=str(q["image_id"]),
+                    text=q["question"],
+                    labels=a["labels"],
+                    scores=a["scores"],
+                )
+            )
+    else:  # test split: no targets
+        for q in questions:
+            out.append(
+                Annotation(
+                    question_id=q["question_id"],
+                    image_id=str(q["image_id"]),
+                    text=q["question"],
+                )
+            )
+    return out
+
+
+def load_label2ans(dataroot: str, prefix: str = "trainval") -> List[str]:
+    """cache/<prefix>_label2ans.pkl (answer vocabulary)."""
+    return pickle.load(
+        open(os.path.join(dataroot, "cache", f"{prefix}_label2ans.pkl"), "rb")
+    )
+
+
+def load_gqa(dataroot: str, split: str = "train") -> List[Annotation]:
+    """GQA balanced questions json {qid: {imageId, question, answer}}
+    (reference gqa_dataset.py)."""
+    path = os.path.join(dataroot, f"{split}_balanced_questions.json")
+    data = json.load(open(path))
+    ans2label_path = os.path.join(dataroot, "cache", "trainval_ans2label.pkl")
+    ans2label = (
+        pickle.load(open(ans2label_path, "rb"))
+        if os.path.exists(ans2label_path)
+        else {}
+    )
+    out = []
+    for qid, item in data.items():
+        labels, scores = [], []
+        ans = item.get("answer")
+        if ans is not None and ans in ans2label:
+            labels, scores = [ans2label[ans]], [1.0]
+        out.append(
+            Annotation(
+                question_id=qid,
+                image_id=str(item["imageId"]),
+                text=item["question"],
+                labels=labels,
+                scores=scores,
+            )
+        )
+    return out
+
+
+def load_nlvr2(dataroot: str, split: str = "train") -> List[Annotation]:
+    """NLVR2 jsonl {identifier, sentence, label}; image ids derived as
+    <identifier-prefix>-img0/-img1 (reference nlvr2_dataset.py:36-69)."""
+    out = []
+    for i, ann in enumerate(_jsonlines(os.path.join(dataroot, f"{split}.json"))):
+        prefix = "-".join(ann["identifier"].split("-")[:-1])
+        out.append(
+            Annotation(
+                question_id=i,
+                image_id=prefix + "-img0",
+                image_id_b=prefix + "-img1",
+                text=str(ann["sentence"]),
+                label=0 if str(ann["label"]) == "False" else 1,
+            )
+        )
+    return out
+
+
+_SNLI_LABELS = {"contradiction": 0, "neutral": 1, "entailment": 2}
+
+
+def load_snli_ve(dataroot: str, split: str = "train") -> List[Annotation]:
+    """SNLI-VE jsonl {Flikr30kID, sentence2, gold_label} (reference
+    visual_entailment_dataset.py:40-75); '-' gold labels are skipped."""
+    out = []
+    path = os.path.join(dataroot, f"snli_ve_{split}.jsonl")
+    for i, ann in enumerate(_jsonlines(path)):
+        gold = str(ann["gold_label"])
+        if gold == "-":
+            continue
+        out.append(
+            Annotation(
+                question_id=i,
+                image_id=str(int(ann["Flikr30kID"].split(".")[0])),
+                text=str(ann["sentence2"]),
+                label=_SNLI_LABELS[gold],
+            )
+        )
+    return out
+
+
+def load_retrieval(
+    annotations_jsonpath: str, task: str = "RetrievalCOCO"
+) -> List[Annotation]:
+    """Retrieval jsonlines: COCO {id, sentences:[...]}; Flickr30k
+    {img_path, sentences:[...]} (reference retreival_dataset.py:25-60)."""
+    out = []
+    count = 0
+    for ann in _jsonlines(annotations_jsonpath):
+        if task == "RetrievalCOCO":
+            image_id = ann["id"]
+        else:
+            image_id = int(ann["img_path"].split(".")[0])
+        for sent in ann["sentences"]:
+            out.append(
+                Annotation(question_id=count, image_id=str(image_id), text=sent)
+            )
+            count += 1
+    return out
+
+
+def load_refer(
+    dataroot: str, dataset: str = "refcoco+", split: str = "train",
+    split_by: str = "unc",
+) -> List[Annotation]:
+    """RefCOCO family via the REFER pickle layout (tools/refer submodule:
+    refs(<split_by>).p — list of {ref_id, ann_id, image_id, split,
+    sentences:[{sent}]} — plus instances.json for the referred box;
+    reference refer_expression_dataset.py:62-110)."""
+    refs_path = os.path.join(dataroot, dataset, f"refs({split_by}).p")
+    refs = pickle.load(open(refs_path, "rb"))
+    inst_path = os.path.join(dataroot, dataset, "instances.json")
+    instances = json.load(open(inst_path))
+    ann_by_id = {a["id"]: a for a in instances["annotations"]}
+    out = []
+    for ref in refs:
+        if ref["split"] != split:
+            continue
+        ann = ann_by_id.get(ref["ann_id"])
+        if ann is None:
+            continue
+        x, y, w, h = ann["bbox"]
+        box = np.array([x, y, x + w, y + h], np.float32)
+        for sent in ref["sentences"]:
+            out.append(
+                Annotation(
+                    question_id=ref["ref_id"],
+                    image_id=str(ref["image_id"]),
+                    text=sent["sent"],
+                    ref_box=box,
+                )
+            )
+    return out
+
+
+def load_vcr(
+    annotations_jsonpath: str, mode: str = "QA"
+) -> List[Annotation]:
+    """VCR jsonl {objects, question, answer_choices, answer_label,
+    rationale_choices, rationale_label, metadata_fn} (reference
+    vcr_dataset.py:118-200). Person tags like [0] are replaced with neutral
+    names per object index (the reference samples random unisex names,
+    vcr_dataset.py:161-166 — we use a fixed cycle for determinism).
+
+    mode "QA": question -> answer options; "QAR": question+right answer ->
+    rationale options.
+    """
+    names = ["Casey", "Riley", "Jessie", "Jackie", "Avery", "Jaime", "Peyton",
+             "Kerry", "Jody", "Kendall"]
+
+    def detokenize(tokens, objects):
+        words = []
+        for tok in tokens:
+            if isinstance(tok, list):
+                for j, idx in enumerate(tok):
+                    if objects[idx] == "person":
+                        words.append(names[idx % len(names)])
+                    else:
+                        words.append(objects[idx])
+                    if j < len(tok) - 1:
+                        words.append("and")
+            else:
+                words.append(str(tok))
+        return " ".join(words)
+
+    out = []
+    for i, ann in enumerate(_jsonlines(annotations_jsonpath)):
+        objects = ann["objects"]
+        q = detokenize(ann["question"], objects)
+        answers = [detokenize(a, objects) for a in ann["answer_choices"]]
+        img_id = os.path.splitext(os.path.basename(ann["metadata_fn"]))[0]
+        if mode == "QA":
+            out.append(
+                Annotation(
+                    question_id=i, image_id=img_id, text=q, options=answers,
+                    label=int(ann.get("answer_label", -1)),
+                )
+            )
+        else:
+            right = answers[int(ann["answer_label"])]
+            rationales = [detokenize(r, objects) for r in ann["rationale_choices"]]
+            out.append(
+                Annotation(
+                    question_id=i, image_id=img_id, text=q, text_b=right,
+                    options=rationales,
+                    label=int(ann.get("rationale_label", -1)),
+                )
+            )
+    return out
+
+
+def load_visual7w_pointing(
+    dataroot: str, split: str = "train"
+) -> List[Annotation]:
+    """Visual7w pointing json dataset_v7w_pointing.json: images with qa_pairs
+    {question, answer (box id), multiple_choices (box ids)} + boxes
+    (reference visual7w_pointing_dataset.py:60-130)."""
+    data = json.load(
+        open(os.path.join(dataroot, "dataset_v7w_pointing.json"))
+    )
+    boxes_by_id = {b["box_id"]: b for b in data.get("boxes", [])}
+    out = []
+    count = 0
+    for image in data["images"]:
+        if image["split"] != split:
+            continue
+        for qa in image["qa_pairs"]:
+            ans = boxes_by_id.get(qa["answer"])
+            if ans is None:
+                continue
+            box = np.array(
+                [ans["x"], ans["y"], ans["x"] + ans["width"],
+                 ans["y"] + ans["height"]], np.float32,
+            )
+            out.append(
+                Annotation(
+                    question_id=qa.get("qa_id", count),
+                    image_id=str(image["image_id"]),
+                    text=qa["question"],
+                    ref_box=box,
+                    # option rows are appended behind the detector block by
+                    # the dataset; indices resolved there
+                )
+            )
+            count += 1
+    return out
+
+
+def load_guesswhat(
+    annotations_jsonpath: str
+) -> List[Annotation]:
+    """GuessWhat?! jsonl {id, image:{id}, qas:[{question, answer}], status}
+    → per-QA-pair yes/no/na 3-class (reference guesswhat_dataset.py:38-76)."""
+    label_map = {"yes": 0, "no": 1, "n/a": 2}
+    out = []
+    count = 0
+    for game in _jsonlines(annotations_jsonpath):
+        for qa in game["qas"]:
+            out.append(
+                Annotation(
+                    question_id=count,
+                    image_id=str(game["image"]["id"]),
+                    text=qa["question"],
+                    label=label_map[qa["answer"].lower()],
+                )
+            )
+            count += 1
+    return out
+
+
+def load_foil(annotations_jsonpath: str) -> List[Annotation]:
+    """FOIL coco-captions-style json {annotations:[{id, image_id, caption,
+    foil}]} → binary real/foil (reference foil_dataset.py)."""
+    data = json.load(open(annotations_jsonpath))
+    out = []
+    for ann in data["annotations"]:
+        out.append(
+            Annotation(
+                question_id=ann["id"],
+                image_id=str(ann["image_id"]),
+                text=ann["caption"],
+                label=int(bool(ann.get("foil", False))),
+            )
+        )
+    return out
