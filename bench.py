@@ -37,9 +37,9 @@ MEASURE_STEPS = 30
 def main() -> None:
     import jax
 
-    from vilbert_tpu.utils.cache import enable_compilation_cache
+    from vilbert_tpu.utils.cache import setup_tpu_defaults
 
-    enable_compilation_cache()
+    setup_tpu_defaults()
 
     from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
     from vilbert_tpu.models.vilbert import ViLBERTForPretraining

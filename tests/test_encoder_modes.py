@@ -1,0 +1,147 @@
+"""Encoder special modes: fast_mode, in_batch_pairs, frozen prefixes, NCE."""
+
+import numpy as np
+import pytest
+
+
+def _inputs(cfg, B=3, T=7, R=5, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        rng.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
+        rng.randn(B, R, cfg.v_feature_size).astype(np.float32),
+        rng.rand(B, R, 5).astype(np.float32),
+    )
+
+
+class TestFastMode:
+    def test_fast_mode_equals_broadcast(self, tiny_config):
+        """fast_mode: 1 caption broadcast over N images == explicit N-batch
+        (reference vilbert.py:1042-1053, used by eval_retrieval)."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        cfg = tiny_config
+        ids, feats, locs = _inputs(cfg, B=3)
+        model = BertModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids[:1], feats, locs)
+
+        fast = BertModel(cfg.replace(fast_mode=True))
+        out_fast = fast.apply(params, ids[:1], feats, locs)
+
+        ids_full = np.repeat(ids[:1], 3, axis=0)
+        out_full = model.apply(params, ids_full, feats, locs)
+        np.testing.assert_allclose(
+            np.asarray(out_fast.sequence_v), np.asarray(out_full.sequence_v),
+            atol=1e-5, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fast.pooled_t), np.asarray(out_full.pooled_t),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_in_batch_pairs_expands_to_b_squared(self, tiny_config):
+        """in_batch_pairs: B² (text_i, image_j) pairs after the first
+        co-attention (reference vilbert.py:1008-1040)."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        cfg = tiny_config.replace(in_batch_pairs=True)
+        ids, feats, locs = _inputs(cfg, B=3)
+        model = BertModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids, feats, locs)
+        out = model.apply(params, ids, feats, locs)
+        assert out.sequence_t.shape[0] == 9
+        assert out.sequence_v.shape[0] == 9
+        # pair (i, j): text i with image j — diagonal equals the plain run
+        plain = BertModel(tiny_config)
+        out_plain = plain.apply(params, ids, feats, locs)
+        diag = np.asarray(out.sequence_t).reshape(3, 3, *out.sequence_t.shape[1:])
+        for i in range(3):
+            np.testing.assert_allclose(
+                diag[i, i], np.asarray(out_plain.sequence_t)[i],
+                atol=1e-5, rtol=1e-5,
+            )
+
+
+class TestFrozenLayers:
+    def test_fixed_layers_receive_no_gradient(self, tiny_config):
+        import jax
+        import jax.numpy as jnp
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        cfg = tiny_config.replace(fixed_t_layer=2, fixed_v_layer=1)
+        ids, feats, locs = _inputs(cfg)
+        model = BertModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids, feats, locs)["params"]
+
+        def loss(p):
+            out = model.apply({"params": p}, ids, feats, locs)
+            return jnp.sum(out.pooled_t.astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss)(params)
+        enc = grads["encoder"]
+        # frozen prefix: text layers 0,1 and image layer 0 get zero grads
+        for name in ("layer_0", "layer_1", "v_layer_0"):
+            g = np.concatenate([
+                np.ravel(x) for x in jax.tree.leaves(enc[name])
+            ])
+            assert np.abs(g).max() == 0.0, name
+        g2 = np.concatenate([np.ravel(x) for x in jax.tree.leaves(enc["layer_2"])])
+        assert np.abs(g2).max() > 0
+
+
+class TestNCELoss:
+    def test_visual_target_2_nce(self, tiny_config):
+        """NCE masked-region loss (visual_target=2): finite, permutation-
+        sensitive, and ≈ -log p with the right class count scale."""
+        import jax
+        import jax.numpy as jnp
+
+        from vilbert_tpu.train.losses import masked_image_loss
+
+        B, R, D = 4, 7, 16
+        rng = np.random.RandomState(0)
+        pred = rng.randn(B, R, D).astype(np.float32)
+        target = rng.randn(B, R - 1, D).astype(np.float32)
+        label = np.where(rng.rand(B, R - 1) < 0.3, 1, -1).astype(np.int32)
+        loss = masked_image_loss(
+            jnp.asarray(pred), jnp.asarray(label), jnp.asarray(target),
+            visual_target=2, num_negative=10, rng=jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(loss))
+        # perfectly aligned prediction (huge margin) -> near-zero loss
+        big = np.zeros_like(pred)
+        big[:, 1:] = target * 100
+        loss2 = masked_image_loss(
+            jnp.asarray(big), jnp.asarray(label), jnp.asarray(target),
+            visual_target=2, num_negative=10, rng=jax.random.PRNGKey(0),
+        )
+        assert float(loss2) < float(loss)
+
+
+class TestVisualization:
+    def test_attention_maps_captured(self, tiny_config):
+        """visualization flag exposes per-layer attention through flax
+        intermediates (replaces the reference's attn-map plumbing,
+        vilbert.py:451-458)."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        cfg = tiny_config.replace(visualization=True)
+        ids, feats, locs = _inputs(cfg)
+        model = BertModel(cfg)
+        variables = model.init(jax.random.PRNGKey(0), ids, feats, locs)
+        out, inter = model.apply(
+            variables, ids, feats, locs,
+            capture_intermediates=lambda mdl, name: name == "attention_probs",
+            mutable=["intermediates"],
+        )
+        flat = jax.tree_util.tree_leaves_with_path(inter["intermediates"])
+        assert len(flat) > 0
+        shapes = [np.asarray(v).shape for _, v in flat]
+        # text self-attention maps are [B, h, T, T]
+        assert any(s[-1] == ids.shape[1] and s[-2] == ids.shape[1] for s in shapes)

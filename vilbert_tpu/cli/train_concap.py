@@ -51,9 +51,9 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
-    from vilbert_tpu.utils.cache import enable_compilation_cache
+    from vilbert_tpu.utils.cache import setup_tpu_defaults
 
-    enable_compilation_cache()
+    setup_tpu_defaults()
 
     from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
     from vilbert_tpu.data.concap import (

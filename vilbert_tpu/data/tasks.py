@@ -409,6 +409,95 @@ class NLVR2Dataset(TaskDataset):
         }
 
 
+@dataclass
+class DialogAnnotation:
+    """One VisDial game: caption + rounds of (question, answer options)."""
+
+    question_id: Any
+    image_id: str
+    caption: str
+    rounds: Sequence[Dict[str, Any]]  # {question, answer, options: [str]}
+
+
+class VisDialDataset(TaskDataset):
+    """TASK3 Visual Dialog (reference visdial_dataset.py:176-297): per image,
+    ``num_rounds`` rounds × ``num_options`` candidates; each candidate is
+    encoded [CLS] question [SEP] answer(seg 1) [SEP] history+caption [SEP].
+    The ground-truth answer is always candidate 0 (targets are zeros)."""
+
+    task_type = "VL-logit"
+    process = "dialog"
+
+    def __init__(self, annotations: Sequence[DialogAnnotation], *args,
+                 num_rounds: int = 10, num_options: int = 100,
+                 max_history_rounds: int = 10, seed: int = 0, **kwargs):
+        # bypass TaskDataset's Annotation typing; same plumbing otherwise
+        super().__init__([], *args, **kwargs)
+        self.dialogs = list(annotations)
+        self.num_rounds = num_rounds
+        self.num_options = num_options
+        self.max_history_rounds = max_history_rounds
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.dialogs)
+
+    def _encode_round(self, question: str, answer: str, history: str):
+        tok = self.tokenizer
+        q_ids = list(tok.encode(question))
+        a_ids = list(tok.encode(answer))
+        f_ids = list(tok.encode(history))
+        budget = self.max_seq_length - len(q_ids) - len(a_ids) - 4
+        f_ids = f_ids[: max(budget, 0)]
+        ids = (
+            [tok.cls_token_id] + q_ids + [tok.sep_token_id]
+            + a_ids + [tok.sep_token_id] + f_ids + [tok.sep_token_id]
+        )
+        seg = (
+            [0] * (len(q_ids) + 2) + [1] * (len(a_ids) + 1)
+            + [0] * (len(f_ids) + 1)
+        )
+        ids, mask, _ = _pad_text(ids, self.max_seq_length)
+        seg = (seg + [0] * self.max_seq_length)[: self.max_seq_length]
+        return ids, mask, np.asarray(seg, np.int32)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        d = self.dialogs[idx]
+        feats, spatials, img_mask, _ = self._image_tensors(d.image_id)
+        qs = np.zeros((self.num_rounds, self.num_options, self.max_seq_length),
+                      np.int32)
+        masks = np.zeros_like(qs)
+        segs = np.zeros_like(qs)
+        history_parts: List[str] = [d.caption]
+        for r in range(self.num_rounds):
+            rnd = d.rounds[r % len(d.rounds)]
+            # history = previous rounds' q+a then the caption (reference
+            # builds facts + [SEP] + caption)
+            history = " ".join(history_parts[-(2 * self.max_history_rounds):])
+            options = [rnd["answer"]] + [
+                o for o in rnd["options"] if o != rnd["answer"]
+            ]
+            options = (options * self.num_options)[: self.num_options]
+            for i, opt in enumerate(options):
+                q, m, s = self._encode_round(rnd["question"], opt, history)
+                qs[r, i], masks[r, i], segs[r, i] = q, m, s
+            history_parts.append(rnd["question"])
+            history_parts.append(rnd["answer"])
+        return {
+            "features": feats,
+            "spatials": spatials,
+            "image_mask": img_mask,
+            "question": qs,                       # [rounds, options, T]
+            "input_mask": masks,
+            "segment_ids": segs,
+            "target": np.zeros((self.num_rounds,), np.int64),
+            "co_attention_mask": np.zeros(
+                (self.max_region_num, self.max_seq_length), np.float32
+            ),
+            "question_id": np.asarray(_qid(d.question_id), np.int64),
+        }
+
+
 def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
@@ -450,6 +539,7 @@ class DataLoader:
 #: name -> dataset class registry (reference DatasetMapTrain/Eval,
 #: vilbert/datasets/__init__.py:52-93)
 DATASET_REGISTRY: Dict[str, type] = {
+    "VisualDialog": VisDialDataset,
     "VQA": VQADataset,
     "GenomeQA": VQADataset,
     "GQA": VQADataset,

@@ -50,7 +50,8 @@ def make_eval_forward(model, model_cfg: ModelConfig, task: TaskConfig) -> Callab
         )
         logits = getattr(out, head)
         if task.type == "VL-logit":
-            logits = logits.reshape(orig_batch, -1)
+            rows = p["target"].reshape(-1).shape[0] if "target" in p else orig_batch
+            logits = logits.reshape(rows, -1)
         elif task.type == "V-logit-mc":
             logits = jnp.take_along_axis(
                 logits[:, MC_REGION_OFFSET:, 0], p["multiple_choice_ids"], axis=1

@@ -73,6 +73,7 @@ class BiAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=rng(cfg.v_attention_probs_dropout_prob),
             impl=impl,
+            return_probs=cfg.visualization,
         )
         # image queries -> text keys/values (image-side context)
         context_v = attention_core(
@@ -82,7 +83,14 @@ class BiAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=rng(cfg.attention_probs_dropout_prob),
             impl=impl,
+            return_probs=cfg.visualization,
         )
+        if cfg.visualization:
+            context_t, probs_t = context_t
+            context_v, probs_v = context_v
+            # co-attention maps (reference attn1/attn2, vilbert.py:813-821)
+            self.sow("intermediates", "attention_probs", probs_t)
+            self.sow("intermediates", "attention_probs_v", probs_v)
         return context_v, context_t
 
 

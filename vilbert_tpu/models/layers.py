@@ -128,7 +128,7 @@ class SelfAttention(nn.Module):
         if not deterministic and self.dropout_rate > 0.0:
             dropout_rng = self.make_rng("dropout")
         impl = "pallas" if cfg.use_pallas_attention else "xla"
-        return attention_core(
+        out = attention_core(
             q,
             k,
             v,
@@ -138,7 +138,14 @@ class SelfAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=dropout_rng,
             impl=impl,
+            return_probs=cfg.visualization,
         )
+        if cfg.visualization:
+            out, probs = out
+            # attention-map capture (reference `visualization` flag,
+            # vilbert.py:451-458) — read via flax capture_intermediates
+            self.sow("intermediates", "attention_probs", probs)
+        return out
 
 
 class AttentionOutput(nn.Module):

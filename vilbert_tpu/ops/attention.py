@@ -47,6 +47,7 @@ def attention_core(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "xla",
+    return_probs: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention over projected inputs.
 
@@ -63,10 +64,15 @@ def attention_core(
     Returns:
       [B, Sq, H] attention output (pre output-projection).
     """
-    if impl == "pallas" and deterministic:
-        from vilbert_tpu.ops.pallas_attention import fused_attention
+    if impl == "pallas" and not return_probs:
+        from vilbert_tpu.ops.pallas_attention_train import fused_attention_train
 
-        return fused_attention(q, k, v, bias, num_heads=num_heads)
+        return fused_attention_train(
+            q, k, v, bias,
+            num_heads=num_heads,
+            dropout_rate=0.0 if deterministic else dropout_rate,
+            dropout_rng=dropout_rng,
+        )
 
     qh = split_heads(q, num_heads)
     kh = split_heads(k, num_heads)
@@ -89,7 +95,10 @@ def attention_core(
 
     probs = probs.astype(vh.dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
-    return merge_heads(ctx)
+    out = merge_heads(ctx)
+    if return_probs:
+        return out, probs
+    return out
 
 
 def make_additive_mask(mask: jax.Array, dtype=jnp.float32) -> jax.Array:

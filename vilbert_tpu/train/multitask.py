@@ -133,8 +133,10 @@ def make_task_loss_fn(
         target = p["target"]
 
         if task.type == "VL-logit":
-            # rank options: [B*N, 1] -> [B, N] (task_utils.py:339-343)
-            logits = logits.reshape(orig_batch_size, -1)
+            # rank options: [B*N, 1] -> [rows, N] where rows follows the
+            # (possibly flattened) target — B for expand/retrieval,
+            # B*rounds for dialog (task_utils.py:339-343, :199-246)
+            logits = logits.reshape(target.shape[0], -1)
         elif task.type == "V-logit-mc":
             # gather option rows past the detector block (task_utils.py:352-360)
             mc = p["multiple_choice_ids"]

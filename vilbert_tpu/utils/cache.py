@@ -20,3 +20,20 @@ def enable_compilation_cache(path: str = "") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without these options
+
+
+def setup_tpu_defaults() -> None:
+    """Production TPU settings: persistent compile cache + hardware RBG PRNG.
+
+    threefry dropout costs ~28% of the CC-pretraining step on v5e (measured:
+    196.6 -> 141.8 ms/step when dropout is disabled; rbg recovers most of it
+    at 166.4 ms/step). rbg is the standard production choice for TPU training
+    where counter-exactness of threefry isn't required.
+    """
+    import jax
+
+    enable_compilation_cache()
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
