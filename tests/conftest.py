@@ -20,9 +20,9 @@ import jax
 # from a pre-conftest environment — force it programmatically too.
 jax.config.update("jax_platforms", "cpu")
 
-from vilbert_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache("/tmp/vilbert_tpu_jax_cache_cpu")
+# NOTE: the persistent compilation cache is deliberately NOT enabled for
+# tests — XLA:CPU AOT artifacts are machine-feature-pinned and reloading them
+# on a slightly different host risks SIGILL.
 
 import numpy as np
 import pytest

@@ -101,12 +101,14 @@ def main(argv=None) -> None:
     selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}
 
     if args.synthetic:
-        loaders = _synthetic_world(selected, model_cfg.vocab_size)
+        loaders, val_loaders = _synthetic_world(selected, model_cfg.vocab_size), {}
     else:
-        raise NotImplementedError(
-            "real-dataset loading requires the dataset artifacts; use "
-            "vilbert_tpu.data.tasks.DATASET_REGISTRY with your annotation "
-            "loaders, or --synthetic for a smoke run"
+        from vilbert_tpu.data.loading import load_datasets
+        from vilbert_tpu.data.tokenization import load_tokenizer
+
+        tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
+        loaders, val_loaders = load_datasets(
+            selected, tokenizer, seed=args.seed
         )
 
     opt_cfg = OptimizerConfig(
@@ -120,9 +122,12 @@ def main(argv=None) -> None:
         model_cfg, selected, loaders,
         opt_cfg=opt_cfg,
         train_cfg=TrainConfig(freeze_prefix=args.freeze,
-                              train_iter_gap=args.train_iter_gap),
+                              train_iter_gap=args.train_iter_gap,
+                              checkpoint_dir=f"{args.output_dir}/ckpt"),
+        val_loaders=val_loaders,
         seed=args.seed,
     )
+    trainer.attach_logger(f"{args.output_dir}/logs")
     epochs = args.num_epochs or max(t.num_epoch for t in selected.values())
     state = trainer.train(epochs)
 

@@ -253,7 +253,53 @@ class MultiTaskTrainer:
             list(tasks), train_iter_gap=self.train_cfg.train_iter_gap
         )
         self.global_step = 0
+        self.epoch = 0
         self.metrics_history: List[Dict] = []
+        self.metrics_logger = None  # optional MetricsLogger (attach_logger)
+        self._ckpt = None
+
+    # -- observability / checkpointing --------------------------------------
+
+    def attach_logger(self, log_dir: str):
+        from vilbert_tpu.train.logger import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(log_dir, list(self.tasks))
+        return self.metrics_logger
+
+    def _ckpt_manager(self):
+        if self._ckpt is None:
+            from vilbert_tpu.core.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(self.train_cfg.checkpoint_dir)
+        return self._ckpt
+
+    def save_checkpoint(self, step: Optional[int] = None) -> None:
+        """Full training state: params/opt/step + host state (controllers,
+        logger, epoch) — the reference's pytorch_ckpt_latest.tar equivalent
+        (train_tasks.py:612-635)."""
+        host = {
+            "controllers": self.controller.state_dict(),
+            "global_step": self.global_step,
+            "epoch": self.epoch,
+        }
+        if self.metrics_logger is not None:
+            host["logger"] = self.metrics_logger.state_dict()
+        self._ckpt_manager().save(
+            step if step is not None else self.global_step, self.state,
+            host_state=host,
+        )
+
+    def restore_checkpoint(self, step: Optional[int] = None) -> int:
+        """Resume model/opt/controller/logger state (train_tasks.py:463-481)."""
+        state, host, step = self._ckpt_manager().restore(self.state, step=step)
+        self.state = state
+        if host:
+            self.controller.load_state_dict(host.get("controllers", {}))
+            self.global_step = host.get("global_step", 0)
+            self.epoch = host.get("epoch", 0)
+            if self.metrics_logger is not None and "logger" in host:
+                self.metrics_logger.load_state_dict(host["logger"])
+        return step
 
     # -- loops --------------------------------------------------------------
 
@@ -268,6 +314,12 @@ class MultiTaskTrainer:
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = task.step_fn(self.state, batch, sub)
             out[key] = metrics
+        if self.metrics_logger is not None:
+            for key, m in out.items():
+                self.metrics_logger.step_train(
+                    self.global_step, key, float(m["loss"]), float(m["score"]),
+                    lr=float(self.schedule(self.global_step)),
+                )
         self.global_step += 1
         return out
 
@@ -289,6 +341,10 @@ class MultiTaskTrainer:
             n += 1
         result = {"loss": tot_loss / max(n, 1), "score": tot_score / max(n, 1)}
         self.controller.step(key, result["score"])
+        if self.metrics_logger is not None:
+            self.metrics_logger.step_val(
+                self.global_step, key, result["loss"], result["score"]
+            )
         return result
 
     def train(
@@ -300,7 +356,8 @@ class MultiTaskTrainer:
         log_every: int = 20,
         hooks: Optional[list] = None,
     ):
-        for epoch in range(num_epochs):
+        for epoch in range(self.epoch, num_epochs):
+            self.epoch = epoch
             t0 = time.perf_counter()
             for it in range(self.median_num_iter):
                 metrics = self.train_iteration(it)
@@ -325,6 +382,8 @@ class MultiTaskTrainer:
                 # reference resets all stop controllers on LR-drop epochs
                 # (train_tasks.py:607-610)
                 self.controller.reset_all()
+            if self.train_cfg.checkpoint_every:
+                self.save_checkpoint()
             logger.info(
                 "epoch %d done in %.1fs", epoch, time.perf_counter() - t0
             )
