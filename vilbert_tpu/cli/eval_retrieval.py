@@ -32,6 +32,9 @@ def main(argv=None) -> None:
     p.add_argument("--max_seq_length", type=int, default=30)
     p.add_argument("--max_region_num", type=int, default=101)
     p.add_argument("--output", default="retrieval_result.json")
+    p.add_argument("--fast_mode", action="store_true",
+                   help="run the text stream once per caption and broadcast "
+                        "it over the image pool inside the encoder")
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args(argv)
 
@@ -53,7 +56,7 @@ def main(argv=None) -> None:
 
     # fast_mode broadcasts one caption over the image pool inside the encoder
     # (reference eval_retrieval.py:220, vilbert.py:1042-1053)
-    model_cfg = ModelConfig.from_json_file(args.config, fast_mode=False)
+    model_cfg = ModelConfig.from_json_file(args.config, fast_mode=args.fast_mode)
     tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
 
     if args.synthetic:
@@ -120,7 +123,8 @@ def main(argv=None) -> None:
         else make_vil_logit_scorer(model, params)
     )
     metrics = evaluate_retrieval(
-        scorer, caption_iter(), pool, chunk=args.chunk
+        scorer, caption_iter(), pool, chunk=args.chunk,
+        fast_mode=args.fast_mode and not args.zero_shot,
     )
     logging.info("retrieval: %s", metrics)
     with open(args.output, "w") as f:

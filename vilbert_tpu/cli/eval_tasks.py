@@ -52,10 +52,11 @@ def main(argv=None) -> None:
 
         loaders = _synthetic_world(selected, model_cfg.vocab_size)
     else:
-        raise NotImplementedError(
-            "real-dataset loading requires the dataset artifacts; "
-            "use --synthetic for a smoke run"
-        )
+        from vilbert_tpu.data.loading import load_datasets
+        from vilbert_tpu.data.tokenization import load_tokenizer
+
+        tokenizer = load_tokenizer(None, model_cfg.vocab_size)
+        _, loaders = load_datasets(selected, tokenizer, with_val=True)
 
     model = ViLBERTForVLTasks(model_cfg)
     first = next(iter(next(iter(loaders.values()))))

@@ -44,7 +44,13 @@ def ranking_metrics(
 
 
 def make_vil_logit_scorer(model, params) -> Callable:
-    """score(caption, image chunk) via the vil_logit head (fine-tuned)."""
+    """score(caption, image chunk) via the vil_logit head (fine-tuned).
+
+    Build the model with ``fast_mode=True`` and pass the caption tensors at
+    batch 1: the text stream then runs ONCE per caption and is broadcast over
+    the image chunk inside the encoder at the first co-attention layer
+    (reference eval_retrieval.py:220 + vilbert.py:1042-1053).
+    """
 
     @jax.jit
     def score(question, features, spatials, input_mask, segment_ids, image_mask):
@@ -78,6 +84,7 @@ def evaluate_retrieval(
     pool: Dict[str, np.ndarray],
     *,
     chunk: int = 500,
+    fast_mode: bool = False,
 ) -> Dict[str, float]:
     """Score every caption against the full image pool.
 
@@ -93,12 +100,13 @@ def evaluate_retrieval(
     P = pool["features"].shape[0]
     assert P % chunk == 0, f"pool {P} must be a multiple of chunk {chunk}"
     rows, targets = [], []
+    text_batch = 1 if fast_mode else chunk
     for cap in caption_iter:
         scores = []
         for c0 in range(0, P, chunk):
-            q = np.broadcast_to(cap["question"], (chunk,) + cap["question"].shape)
-            im = np.broadcast_to(cap["input_mask"], (chunk,) + cap["input_mask"].shape)
-            sg = np.broadcast_to(cap["segment_ids"], (chunk,) + cap["segment_ids"].shape)
+            q = np.broadcast_to(cap["question"], (text_batch,) + cap["question"].shape)
+            im = np.broadcast_to(cap["input_mask"], (text_batch,) + cap["input_mask"].shape)
+            sg = np.broadcast_to(cap["segment_ids"], (text_batch,) + cap["segment_ids"].shape)
             s = scorer(
                 q,
                 pool["features"][c0 : c0 + chunk],

@@ -362,8 +362,15 @@ class MultiTaskTrainer:
             for it in range(self.median_num_iter):
                 metrics = self.train_iteration(it)
                 if log_every and (it + 1) % log_every == 0:
+                    host = {k: float(m["loss"]) for k, m in metrics.items()}
+                    bad = [k for k, v in host.items() if not np.isfinite(v)]
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {epoch} it {it + 1} "
+                            f"for tasks {bad}"
+                        )
                     line = " ".join(
-                        f"{k}:{float(m['loss']):.3f}/{float(m['score']):.3f}"
+                        f"{k}:{host[k]:.3f}/{float(m['score']):.3f}"
                         for k, m in metrics.items()
                     )
                     logger.info("epoch %d it %d %s", epoch, it + 1, line)

@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
 from vilbert_tpu.models.vilbert import ViLBERTForPretraining
@@ -139,6 +140,13 @@ def run_pretraining(
         state, metrics = step_fn(state, batch, step_rng)
         if log_every and (step + 1) % log_every == 0:
             metrics = jax.device_get(metrics)
+            if not np.isfinite(metrics["loss"]):
+                # failure detection the reference lacks (it ran
+                # torch.autograd.set_detect_anomaly in the hot loop instead,
+                # train_tasks.py:512) — fail fast with context
+                raise FloatingPointError(
+                    f"non-finite loss at step {step + 1}: {metrics}"
+                )
             dt = time.perf_counter() - t0
             logger.info(
                 "step %d loss %.4f (t %.4f v %.4f nsp %.4f) lr %.2e %.2f it/s",
