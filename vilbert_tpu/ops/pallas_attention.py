@@ -37,7 +37,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                  # [Sq, Sk]
-    s = s + bias_ref[0][None, :].astype(jnp.float32)
+    s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -61,7 +61,8 @@ def _attention_fwd_pallas(qh, kh, vh, bias_rows, num_heads, interpret):
             pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, sk), lambda i: (i // num_heads, 0), memory_space=pltpu.VMEM
+                (1, 1, sk), lambda i: (i // num_heads, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -74,7 +75,7 @@ def _attention_fwd_pallas(qh, kh, vh, bias_rows, num_heads, interpret):
             transcendentals=bh * sq * sk,
         ),
         interpret=interpret,
-    )(qh, kh, vh, bias_rows)
+    )(qh, kh, vh, bias_rows[:, None, :])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

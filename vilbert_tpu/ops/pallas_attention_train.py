@@ -60,7 +60,7 @@ def _probs(q_ref, k_ref, bias_ref, scale):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    s = s + bias_ref[0][None, :].astype(jnp.float32)
+    s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -127,7 +127,7 @@ def _grid_spec(bh, sq, sk, d, num_heads, n_extra_in, n_out):
         pl.BlockSpec((1, sq, d), tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, sk, d), tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, sk, d), tile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sk), lambda i, _s: (i // num_heads, 0),
+        pl.BlockSpec((1, 1, sk), lambda i, _s: (i // num_heads, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for _ in range(n_extra_in):
@@ -157,7 +157,7 @@ def _fwd_call(qh, kh, vh, bias_rows, seed, num_heads, rate, interpret):
         grid_spec=_grid_spec(bh, sq, sk, d, num_heads, 0, 1),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
         interpret=interpret,
-    )(seed, qh, kh, vh, bias_rows)
+    )(seed, qh, kh, vh, bias_rows[:, None, :])
 
 
 def _bwd_call(qh, kh, vh, bias_rows, seed, g, num_heads, rate, interpret):
@@ -174,7 +174,7 @@ def _bwd_call(qh, kh, vh, bias_rows, seed, g, num_heads, rate, interpret):
             jax.ShapeDtypeStruct((bh, sk, d), vh.dtype),
         ),
         interpret=interpret,
-    )(seed, qh, kh, vh, bias_rows, g)
+    )(seed, qh, kh, vh, bias_rows[:, None, :], g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
