@@ -81,6 +81,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     use_pallas_attention: bool = False
     use_pallas_layernorm: bool = False
+    use_fast_dropout: bool = True  # counter-hash dropout (ops/dropout.py)
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):

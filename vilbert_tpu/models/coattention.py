@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vilbert_tpu.core.config import ModelConfig
-from vilbert_tpu.models.layers import AttentionOutput, FeedForward, _dense, _ln
+from vilbert_tpu.models.layers import AttentionOutput, FeedForward, _dense, _dropout, _ln
 from vilbert_tpu.ops.attention import attention_core
 
 
@@ -74,6 +74,7 @@ class BiAttention(nn.Module):
             dropout_rng=rng(cfg.v_attention_probs_dropout_prob),
             impl=impl,
             return_probs=cfg.visualization,
+            fast_dropout=cfg.use_fast_dropout,
         )
         # image queries -> text keys/values (image-side context)
         context_v = attention_core(
@@ -84,6 +85,7 @@ class BiAttention(nn.Module):
             dropout_rng=rng(cfg.attention_probs_dropout_prob),
             impl=impl,
             return_probs=cfg.visualization,
+            fast_dropout=cfg.use_fast_dropout,
         )
         if cfg.visualization:
             context_t, probs_t = context_t
@@ -111,11 +113,11 @@ class BiOutput(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
         hv = _dense(cfg, cfg.v_hidden_size, "dense1")(context_v)
-        hv = nn.Dropout(cfg.v_hidden_dropout_prob)(hv, deterministic=deterministic)
+        hv = _dropout(cfg, cfg.v_hidden_dropout_prob)(hv, deterministic=deterministic)
         out_v = _ln(cfg, "LayerNorm1")(hv, residual=input_v)
 
         ht = _dense(cfg, cfg.hidden_size, "dense2")(context_t)
-        ht = nn.Dropout(cfg.hidden_dropout_prob)(ht, deterministic=deterministic)
+        ht = _dropout(cfg, cfg.hidden_dropout_prob)(ht, deterministic=deterministic)
         out_t = _ln(cfg, "LayerNorm2")(ht, residual=input_t)
         return out_v, out_t
 

@@ -79,6 +79,15 @@ def _ln(cfg: ModelConfig, name: str = "LayerNorm"):
     return LayerNorm(impl=impl, param_dtype=jnp.dtype(cfg.param_dtype), name=name)
 
 
+def _dropout(cfg: ModelConfig, rate: float, name: Optional[str] = None):
+    """Config-selected dropout: counter-hash (fast) or flax threefry."""
+    if cfg.use_fast_dropout:
+        from vilbert_tpu.ops.dropout import FastDropout
+
+        return FastDropout(rate, name=name)
+    return nn.Dropout(rate, name=name)
+
+
 class SelfAttention(nn.Module):
     """Q/K/V projection + attention core. Serves both streams.
 
@@ -139,6 +148,7 @@ class SelfAttention(nn.Module):
             dropout_rng=dropout_rng,
             impl=impl,
             return_probs=cfg.visualization,
+            fast_dropout=cfg.use_fast_dropout,
         )
         if cfg.visualization:
             out, probs = out
@@ -161,7 +171,7 @@ class AttentionOutput(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         h = _dense(cfg, self.hidden_size, "dense")(hidden_states)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = _dropout(self.config, self.dropout_rate)(h, deterministic=deterministic)
         return _ln(cfg)(h, residual=input_tensor)
 
 
@@ -183,7 +193,7 @@ class FeedForward(nn.Module):
         h = _dense(cfg, self.intermediate_size, "intermediate_dense")(x)
         h = ACT2FN[self.act](h)
         h = _dense(cfg, self.hidden_size, "output_dense")(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = _dropout(self.config, self.dropout_rate)(h, deterministic=deterministic)
         return _ln(cfg)(h, residual=x)
 
 

@@ -38,6 +38,7 @@ from vilbert_tpu.models.layers import (
     LayerNorm,
     TextLayer,
     _dense,
+    _dropout,
     _ln,
     gelu,
 )
@@ -71,7 +72,7 @@ class TextEmbeddings(nn.Module):
                 embedding_init=init, param_dtype=pdtype,
             )
         self.LayerNorm = LayerNorm(param_dtype=pdtype)
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = _dropout(cfg, cfg.hidden_dropout_prob)
 
     def __call__(
         self,
@@ -117,7 +118,7 @@ class ImageEmbeddings(nn.Module):
             cfg, cfg.v_hidden_size, "image_location_embeddings"
         )
         self.LayerNorm = LayerNorm(param_dtype=jnp.dtype(cfg.param_dtype))
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = _dropout(cfg, cfg.hidden_dropout_prob)
 
     def __call__(
         self, features: jax.Array, locations: jax.Array, *, deterministic=True
@@ -360,7 +361,7 @@ class PreTrainingHeads(nn.Module):
         self.predictions = LMPredictionHead(cfg)
         self.bi_seq_relationship = _dense(cfg, 2, "bi_seq_relationship")
         self.imagePredictions = ImagePredictionHead(cfg)
-        self.dropout = nn.Dropout(0.1)
+        self.dropout = _dropout(cfg, 0.1)
 
     def fuse(self, pooled_t, pooled_v, *, deterministic=True):
         if self.config.fusion_method == "sum":
@@ -509,7 +510,7 @@ class ViLBERTForVLTasks(nn.Module):
         cfg = self.config
         self.bert = BertModel(cfg)
         self.cls = PreTrainingHeads(cfg)
-        self.dropout = nn.Dropout(self.dropout_prob)
+        self.dropout = _dropout(cfg, self.dropout_prob)
         bi = cfg.bi_hidden_size
         self.vil_prediction = SimpleClassifier(cfg, bi * 2, self.num_labels)
         self.vil_prediction_gqa = SimpleClassifier(cfg, bi * 2, self.num_labels_gqa)

@@ -48,6 +48,7 @@ def attention_core(
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "xla",
     return_probs: bool = False,
+    fast_dropout: bool = True,
 ) -> jax.Array:
     """Scaled dot-product attention over projected inputs.
 
@@ -90,7 +91,15 @@ def attention_core(
     if dropout_rate > 0.0 and not deterministic:
         if dropout_rng is None:
             raise ValueError("dropout_rng required when applying attention dropout")
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        if fast_dropout:
+            from vilbert_tpu.ops.dropout import hash_keep_mask
+
+            seed = jax.random.bits(dropout_rng, (), jnp.uint32)
+            keep = hash_keep_mask(probs.shape, dropout_rate, seed)
+        else:
+            keep = jax.random.bernoulli(
+                dropout_rng, 1.0 - dropout_rate, probs.shape
+            )
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 
     probs = probs.astype(vh.dtype)
