@@ -130,10 +130,23 @@ def main(argv=None) -> None:
                          len(report.loaded), len(report.missing),
                          len(report.unexpected))
 
+    hooks = []
+    if args.checkpoint_every:
+        from vilbert_tpu.core.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(f"{args.output_dir}/ckpt")
+
+        def ckpt_hook(step, state, metrics):
+            if (step + 1) % args.checkpoint_every == 0:
+                mngr.save(step + 1, state)
+
+        hooks.append(ckpt_hook)
+
     state = run_pretraining(
         model_cfg, opt_cfg, loader,
         num_steps=num_steps, seed=args.seed, img_weight=args.img_weight,
         grad_accum=args.gradient_accumulation_steps, init_params=init_params,
+        hooks=hooks,
     )
 
     from vilbert_tpu.core.checkpoint import save_params

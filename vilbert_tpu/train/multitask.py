@@ -186,6 +186,7 @@ class MultiTaskTrainer:
         num_labels: int = 3129,
         init_params=None,
         seed: int = 0,
+        mesh=None,
     ):
         self.model_cfg = model_cfg
         self.model = ViLBERTForVLTasks(model_cfg, num_labels=num_labels)
@@ -230,6 +231,13 @@ class MultiTaskTrainer:
             freeze_prefix=self.train_cfg.freeze_prefix,
         )
         self.state = TrainState.create(init_params, self.tx)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from vilbert_tpu.parallel.mesh import batch_sharding, replicate_pytree
+
+            self.state = TrainState(*replicate_pytree(tuple(self.state), mesh))
+            self._batch_sharding = batch_sharding(mesh)
 
         self.tasks: Dict[str, TaskRuntime] = {}
         for key, tcfg in tasks.items():
@@ -311,6 +319,10 @@ class MultiTaskTrainer:
                 continue
             batch = task.next_batch()
             batch = {k: v for k, v in batch.items() if k != "question_id"}
+            if self._batch_sharding is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(x, self._batch_sharding), batch
+                )
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = task.step_fn(self.state, batch, sub)
             out[key] = metrics
