@@ -6,8 +6,6 @@ Replaces the reference's HF-style recursive loader with key migration
 (vilbert/utils.py:831-1032): gamma/beta → weight/bias, missing/unexpected-key
 reporting, optional ``bert.`` prefix handling.
 
-Also usable in reverse (export) for cross-checking.
-
 Conventions:
 - torch ``nn.Linear.weight`` is [out, in]; flax ``nn.Dense.kernel`` is
   [in, out] → transposed on import.

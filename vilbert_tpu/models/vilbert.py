@@ -579,14 +579,21 @@ class ViLBERTForVLTasks(nn.Module):
             results["vil_prediction"] = self.vil_prediction(pooled)
         if "vil_prediction_gqa" in heads:
             results["vil_prediction_gqa"] = self.vil_prediction_gqa(pooled)
-        if "vil_binary_prediction" in heads and pooled.shape[0] % 2 == 0:
-            # pairs (e.g. NLVR2's two images) arrive as consecutive rows;
-            # concatenate each pair's pooled vectors (vilbert.py:1686-1689);
-            # skipped for odd batches exactly like the reference
+        if "vil_binary_prediction" in heads:
             b, h = pooled.shape
-            results["vil_binary_prediction"] = self.vil_binary_prediction(
-                pooled.reshape(b // 2, h * 2)
-            )
+            if b % 2 == 0:
+                # pairs (e.g. NLVR2's two images) arrive as consecutive rows;
+                # concatenate each pair's pooled vectors (vilbert.py:1686-1689)
+                results["vil_binary_prediction"] = self.vil_binary_prediction(
+                    pooled.reshape(b // 2, h * 2)
+                )
+            elif self.is_initializing():
+                # odd batch at init time: still touch the head so its params
+                # exist (the reference creates all heads unconditionally)
+                self.vil_binary_prediction(
+                    jnp.concatenate([pooled, pooled], axis=-1)
+                )
+            # odd batches at apply time skip the head like the reference
         if "vil_logit" in heads:
             results["vil_logit"] = self.vil_logit(pooled).astype(jnp.float32)
         if "vil_tri_prediction" in heads:
