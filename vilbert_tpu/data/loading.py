@@ -99,8 +99,20 @@ def load_datasets(
             num_labels=task.num_labels or NUM_LABELS.get(task.name, 0),
             store_gt=store_gt,
         )
+        extra = {}
+        if task.name.startswith("Retrieval"):
+            # precomputed 100-NN hard negatives (reference
+            # retreival_dataset.py:97-107; built by
+            # scripts/generate_hard_negatives.py)
+            pool_path = os.path.join(task.dataroot, "hard_negative.pkl")
+            if os.path.exists(pool_path):
+                import pickle
+
+                with open(pool_path, "rb") as f:
+                    extra["hard_negative_pool"] = pickle.load(f)
         train_ds = cls(
-            _load_annotations(task, task.train_split), split="train", **common
+            _load_annotations(task, task.train_split), split="train",
+            **common, **extra,
         )
         batch = max(task.batch_size // (grad_accum * num_shards), 1)
         train_loaders[key] = DataLoader(
