@@ -328,13 +328,17 @@ class LMPredictionHead(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.dtype(cfg.param_dtype)
         )
+        # accumulate on the MXU in fp32, but store the [B,T,vocab] scores in
+        # the compute dtype — this tensor is ~1.1GB/step in fp32 at CC shapes
+        # and dominates head-side HBM traffic; the loss upcasts to fp32
+        out_dtype = jnp.dtype(cfg.compute_dtype)
         logits = jnp.einsum(
             "bth,vh->btv",
             h,
             embedding_table.astype(h.dtype),
             preferred_element_type=jnp.float32,
-        )
-        return logits + bias.astype(jnp.float32)
+        ).astype(out_dtype)
+        return logits + bias.astype(out_dtype)
 
 
 class ImagePredictionHead(nn.Module):
@@ -347,7 +351,7 @@ class ImagePredictionHead(nn.Module):
     def __call__(self, h: jax.Array) -> jax.Array:
         cfg = self.config
         h = PredictionHeadTransform(cfg, cfg.v_hidden_size, name="transform")(h)
-        return _dense(cfg, cfg.v_target_size, "decoder")(h).astype(jnp.float32)
+        return _dense(cfg, cfg.v_target_size, "decoder")(h)
 
 
 class PreTrainingHeads(nn.Module):
