@@ -23,3 +23,24 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keeps bare `import vilbert_tpu` jax-free)."""
+    top = {
+        "ModelConfig": "vilbert_tpu.core.config",
+        "TaskConfig": "vilbert_tpu.core.config",
+        "OptimizerConfig": "vilbert_tpu.core.config",
+        "TrainConfig": "vilbert_tpu.core.config",
+        "load_task_configs": "vilbert_tpu.core.config",
+        "ViLBERTForPretraining": "vilbert_tpu.models.vilbert",
+        "ViLBERTForVLTasks": "vilbert_tpu.models.vilbert",
+        "BertModel": "vilbert_tpu.models.vilbert",
+        "MultiTaskTrainer": "vilbert_tpu.train.multitask",
+        "run_pretraining": "vilbert_tpu.train.pretrain",
+    }
+    if name in top:
+        import importlib
+
+        return getattr(importlib.import_module(top[name]), name)
+    raise AttributeError(f"module 'vilbert_tpu' has no attribute {name!r}")

@@ -315,6 +315,38 @@ def load_guesswhat(
     return out
 
 
+def load_visdial(annotations_jsonpath: str, num_options: int = 100):
+    """VisDial v1.0 json: {data: {dialogs, questions, answers}} with dialogs
+    holding index-coded rounds (reference visdial_dataset.py:100-160).
+    Returns DialogAnnotation records for data.tasks.VisDialDataset."""
+    from vilbert_tpu.data.tasks import DialogAnnotation
+
+    data = json.load(open(annotations_jsonpath))["data"]
+    questions = data["questions"]
+    answers = data["answers"]
+    out = []
+    for i, d in enumerate(data["dialogs"]):
+        rounds = []
+        for rnd in d["dialog"]:
+            opts_idx = rnd.get("answer_options", [])[:num_options]
+            rounds.append(
+                {
+                    "question": questions[rnd["question"]],
+                    "answer": answers[rnd["answer"]],
+                    "options": [answers[j] for j in opts_idx],
+                }
+            )
+        out.append(
+            DialogAnnotation(
+                question_id=i,
+                image_id=str(d["image_id"]),
+                caption=d.get("caption", ""),
+                rounds=rounds,
+            )
+        )
+    return out
+
+
 def load_foil(annotations_jsonpath: str) -> List[Annotation]:
     """FOIL coco-captions-style json {annotations:[{id, image_id, caption,
     foil}]} → binary real/foil (reference foil_dataset.py)."""

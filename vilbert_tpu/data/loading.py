@@ -41,6 +41,10 @@ def _load_annotations(task: TaskConfig, split: str):
         return ann.load_retrieval(path, name)
     if name in ("refcoco", "refcoco+", "refcocog"):
         return ann.load_refer(root, name, split)
+    if name == "VisualDialog":
+        path = (task.train_annotations_jsonpath if split.startswith("train")
+                else task.val_annotations_jsonpath)
+        return ann.load_visdial(path)
     if name in ("VCR_Q-A", "VCR_QA-R"):
         path = (task.train_annotations_jsonpath if split.startswith("train")
                 else task.val_annotations_jsonpath)
