@@ -34,6 +34,52 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
 
+def bench_vqa_eval() -> None:
+    """Secondary metric (BASELINE.json): VQA eval questions/sec — jitted
+    vil_prediction forward at the reference eval shapes (seq 23, 101 regions,
+    eval batch 1024 per vilbert_tasks.yml TASK1). Run: python bench.py --eval"""
+    import jax
+
+    from vilbert_tpu.core.config import ModelConfig
+    from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+    from vilbert_tpu.utils.cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    cfg = ModelConfig.from_json_file(
+        "configs/bert_base_6layer_6conect.json", compute_dtype="bfloat16"
+    )
+    model = ViLBERTForVLTasks(cfg)
+    B, T, R = 1024, 23, 101
+    rng = np.random.RandomState(0)
+    q = rng.randint(1, cfg.vocab_size, (B, T)).astype(np.int32)
+    feats = rng.randn(B, R, 2048).astype(np.float32)
+    spats = rng.rand(B, R, 5).astype(np.float32)
+    masks = (np.ones((B, T), np.int32), np.ones((B, R), np.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), q[:2], feats[:2], spats[:2])
+
+    @jax.jit
+    def forward(params, q, feats, spats, tmask, imask):
+        out = model.apply(params, q, feats, spats, None, tmask, imask,
+                          heads=("vil_prediction",))
+        return out.vil_prediction
+
+    args = tuple(map(jax.device_put, (q, feats, spats, *masks)))
+    out = forward(params, *args)
+    float(out.sum())  # force
+    t0 = time.perf_counter()
+    steps = 20
+    for _ in range(steps):
+        out = forward(params, *args)
+    float(out.sum())
+    dt = time.perf_counter() - t0
+    qps = B * steps / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "vqa_eval_questions_per_sec_per_chip",
+        "value": round(qps, 2), "unit": "questions/s/chip",
+        "vs_baseline": round(qps / 800.0, 3),  # est. reference V100 eval q/s
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -123,4 +169,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--eval" in sys.argv:
+        bench_vqa_eval()
+    else:
+        main()
