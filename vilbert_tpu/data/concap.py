@@ -91,20 +91,97 @@ class ConceptCapPreprocessor:
         rng: np.random.Generator,
     ):
         """15% region masking, 90% zeroed, with overlap>0.4 co-mask recording
-        (concept_cap_dataset.py:638-670)."""
+        (concept_cap_dataset.py:638-670). ``overlaps`` covers the first
+        ``num_boxes`` rows; outputs span the padded region table."""
         labels = np.full((image_feat.shape[0],), -1, np.int64)
         masked_label = np.zeros((image_feat.shape[0],), bool)
+        k = overlaps.shape[1]
         for i in range(num_boxes):
             prob = rng.random()
             if prob < 0.15 and not self.cfg.visualization:
                 prob /= 0.15
                 if prob < 0.9:
                     image_feat[i] = 0
-                masked_label |= overlaps[i] > 0.4
+                masked_label[:k] |= overlaps[i] > 0.4
                 labels[i] = 1
         return image_feat, labels, masked_label
 
     # -- full sample --------------------------------------------------------
+
+    def alloc_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        """Preallocated batch buffers with the global-feature row reserved
+        at region index 0 (filled by finalize_batch)."""
+        cfg = self.cfg
+        b, t, r = batch_size, cfg.seq_len, cfg.region_len
+        return {
+            "input_ids": np.zeros((b, t), np.int32),
+            "input_mask": np.zeros((b, t), np.int32),
+            "segment_ids": np.zeros((b, t), np.int32),
+            "lm_label_ids": np.full((b, t), -1, np.int32),
+            "is_next": np.zeros((b,), np.int32),
+            "image_feat": np.zeros((b, r + 1, cfg.feature_dim), np.float32),
+            "image_loc": np.zeros((b, r + 1, 5), np.float32),
+            "image_target": np.zeros(
+                (b, r, cfg.target_dim if cfg.visual_target == 0
+                 else cfg.feature_dim), np.float32,
+            ),
+            "image_label": np.full((b, r), -1, np.int32),
+            "image_mask": np.zeros((b, r + 1), np.int32),
+            "masked_label": np.zeros((b, r), bool),
+            "image_id": np.zeros((b,), np.int32),
+        }
+
+    def fill(
+        self,
+        out: Dict[str, np.ndarray],
+        row: int,
+        rf: RegionFeatures,
+        caption: str,
+        rng: np.random.Generator,
+        image_id: str = "",
+    ) -> None:
+        """Write one preprocessed sample into batch row ``row`` (region rows
+        are offset by 1 — row 0 is the global feature slot)."""
+        cfg = self.cfg
+        n = min(int(rf.features.shape[0]), cfg.region_len)
+
+        feat = out["image_feat"][row, 1:]
+        loc = out["image_loc"][row, 1:]
+        feat[:n] = rf.features[:n]
+        loc[:n, 0] = rf.boxes[:n, 0] / rf.image_w
+        loc[:n, 1] = rf.boxes[:n, 1] / rf.image_h
+        loc[:n, 2] = rf.boxes[:n, 2] / rf.image_w
+        loc[:n, 3] = rf.boxes[:n, 3] / rf.image_h
+        # area from the zero-padded table like the reference
+        # (concept_cap_dataset.py:445-449)
+        loc[:, 4] = (loc[:, 3] - loc[:, 1]) * (loc[:, 2] - loc[:, 0])
+
+        if cfg.visual_target == 0:
+            if rf.target is not None:
+                out["image_target"][row, :n] = rf.target[:n]
+        else:
+            out["image_target"][row, :n] = rf.features[:n]
+
+        overlaps = iou(rf.boxes[:n], rf.boxes[:n])
+
+        caption, is_next = self.random_cap(caption, rng)
+        ids = list(self.tokenizer.encode(caption))[: cfg.seq_len - 2]
+        ids, token_labels = self.random_word(ids, rng)
+        _, image_label, masked_label = self.random_region(feat, n, overlaps, rng)
+
+        input_ids = add_special_single(self.tokenizer, ids)
+        L = len(input_ids)
+        out["input_ids"][row, :L] = input_ids
+        out["input_mask"][row, :L] = 1
+        out["lm_label_ids"][row, 1 : L - 1] = token_labels
+        out["is_next"][row] = is_next
+        out["image_label"][row, :n] = image_label[:n]
+        out["image_mask"][row, : n + 1] = 1  # + global row
+        out["masked_label"][row] = masked_label[: cfg.region_len]
+        out["image_id"][row] = hash(str(image_id)) % 2**31
+        # note: image_target was written BEFORE random_region — the regression
+        # target is the unmasked feature (reference deep-copies pre-masking,
+        # concept_cap_dataset.py:456-461)
 
     def __call__(
         self,
@@ -113,65 +190,36 @@ class ConceptCapPreprocessor:
         rng: np.random.Generator,
         image_id: str = "",
     ) -> Dict[str, np.ndarray]:
-        cfg = self.cfg
-        n = min(int(rf.features.shape[0]), cfg.region_len)
-
-        image_feature = np.zeros((cfg.region_len, cfg.feature_dim), np.float32)
-        image_location = np.zeros((cfg.region_len, 5), np.float32)
-        image_feature[:n] = rf.features[:n]
-        image_location[:n, 0] = rf.boxes[:n, 0] / rf.image_w
-        image_location[:n, 1] = rf.boxes[:n, 1] / rf.image_h
-        image_location[:n, 2] = rf.boxes[:n, 2] / rf.image_w
-        image_location[:n, 3] = rf.boxes[:n, 3] / rf.image_h
-        # area computed from the zero-padded table like the reference
-        # (concept_cap_dataset.py:445-449)
-        image_location[:, 4] = (
-            (image_location[:, 3] - image_location[:, 1])
-            * (image_location[:, 2] - image_location[:, 0])
-        )
-
-        if cfg.visual_target == 0:
-            image_target = np.zeros((cfg.region_len, cfg.target_dim), np.float32)
-            if rf.target is not None:
-                image_target[:n] = rf.target[:n]
-        else:
-            image_target = image_feature.copy()
-
-        overlaps_full = np.zeros((cfg.region_len, cfg.region_len), np.float32)
-        overlaps_full[:n, :n] = iou(rf.boxes[:n], rf.boxes[:n])
-
-        caption, is_next = self.random_cap(caption, rng)
-        ids = list(self.tokenizer.encode(caption))[: cfg.seq_len - 2]
-        ids, token_labels = self.random_word(ids, rng)
-        image_feature, image_label, masked_label = self.random_region(
-            image_feature, n, overlaps_full, rng
-        )
-
-        lm_label_ids = [-1] + token_labels + [-1]
-        input_ids = add_special_single(self.tokenizer, ids)
-        pad = cfg.seq_len - len(input_ids)
-        input_mask = [1] * len(input_ids) + [0] * pad
-        segment_ids = [0] * cfg.seq_len
-        input_ids = input_ids + [0] * pad
-        lm_label_ids = lm_label_ids + [-1] * pad
-
-        image_mask = np.zeros((cfg.region_len,), np.int64)
-        image_mask[:n] = 1
-
-        return {
-            "input_ids": np.asarray(input_ids, np.int32),
-            "input_mask": np.asarray(input_mask, np.int32),
-            "segment_ids": np.asarray(segment_ids, np.int32),
-            "lm_label_ids": np.asarray(lm_label_ids, np.int32),
-            "is_next": np.asarray(is_next, np.int32),
-            "image_feat": image_feature,
-            "image_loc": image_location,
-            "image_target": image_target,
-            "image_label": image_label.astype(np.int32),
-            "image_mask": image_mask.astype(np.int32),
-            "masked_label": masked_label,
-            "image_id": np.asarray(hash(str(image_id)) % 2**31, np.int32),
+        """Single-sample form (tests/inspection); training uses fill()."""
+        out = self.alloc_batch(1)
+        self.fill(out, 0, rf, caption, rng, image_id)
+        sample = {
+            "input_ids": out["input_ids"][0],
+            "input_mask": out["input_mask"][0],
+            "segment_ids": out["segment_ids"][0],
+            "lm_label_ids": out["lm_label_ids"][0],
+            "is_next": out["is_next"][0],
+            "image_feat": out["image_feat"][0, 1:],
+            "image_loc": out["image_loc"][0, 1:],
+            "image_target": out["image_target"][0],
+            "image_label": out["image_label"][0],
+            "image_mask": out["image_mask"][0, 1:],
+            "masked_label": out["masked_label"][0],
+            "image_id": out["image_id"][0],
         }
+        return sample
+
+
+def finalize_batch(out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fill the reserved global-feature row 0 in-place and strip host-only
+    fields (reference ConceptCapLoaderTrain.__iter__,
+    concept_cap_dataset.py:248-267)."""
+    masked_label = out.pop("masked_label")
+    count = np.maximum(np.sum(~masked_label, axis=1, keepdims=True), 1)
+    out["image_feat"][:, 0] = out["image_feat"][:, 1:].sum(axis=1) / count
+    out["image_loc"][:, 0] = np.array([0, 0, 1, 1, 1], np.float32)
+    out["image_mask"][:, 0] = 1
+    return out
 
 
 def collate_concap(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -245,18 +293,24 @@ class ConceptCapLoader:
         epoch_rng = np.random.default_rng((self.seed, self.epoch))
         if self.shuffle:
             epoch_rng.shuffle(order)
-        samples = []
+        # samples are written straight into preallocated batch buffers —
+        # no per-sample arrays, no stack/concat pass (the profile showed
+        # those dominating the 1-core pipeline)
+        out = self.preprocessor.alloc_batch(self.batch_size)
+        row = 0
         for idx in order:
             key = self.keys[idx]
             rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
-            samples.append(
-                self.preprocessor(
-                    self.store.get(key), self.captions[key], rng, image_id=key
-                )
+            self.preprocessor.fill(
+                out, row, self.store.get(key), self.captions[key], rng,
+                image_id=key,
             )
-            if len(samples) == self.batch_size:
-                yield collate_concap(samples)
-                samples = []
-        if samples and not self.drop_last:
-            yield collate_concap(samples)
+            row += 1
+            if row == self.batch_size:
+                yield finalize_batch(out)
+                out = self.preprocessor.alloc_batch(self.batch_size)
+                row = 0
+        if row and not self.drop_last:
+            partial = {k: v[:row] for k, v in out.items()}
+            yield finalize_batch(partial)
         self.epoch += 1
