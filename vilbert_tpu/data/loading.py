@@ -54,7 +54,7 @@ def _load_annotations(task: TaskConfig, split: str):
     if name == "GuessWhat":
         path = os.path.join(root, f"guesswhat.{split}.jsonl")
         return ann.load_guesswhat(path)
-    if name == "FOIL":
+    if name == "Foil":
         path = (task.train_annotations_jsonpath if split.startswith("train")
                 else task.val_annotations_jsonpath)
         return ann.load_foil(path)

@@ -545,7 +545,7 @@ DATASET_REGISTRY: Dict[str, type] = {
     "GQA": VQADataset,
     "VisualEntailment": ClassificationDataset,
     "GuessWhat": ClassificationDataset,
-    "FOIL": ClassificationDataset,
+    "Foil": ClassificationDataset,
     "VCR_Q-A": ExpandDataset,
     "VCR_QA-R": ExpandDataset,
     "RetrievalCOCO": RetrievalDataset,
