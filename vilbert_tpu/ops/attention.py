@@ -75,13 +75,18 @@ def attention_core(
             dropout_rng=dropout_rng,
         )
 
-    qh = split_heads(q, num_heads)
-    kh = split_heads(k, num_heads)
-    vh = split_heads(v, num_heads)
-    head_dim = qh.shape[-1]
+    # reshape only — no explicit head transpose; letting XLA choose layouts
+    # removes the bf16 [B,h,S,d] copy fusions seen in the op profile
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    qh = q.reshape(b, sq, num_heads, d)
+    kh = k.reshape(b, sk, num_heads, d)
+    vh = v.reshape(b, sk, num_heads, d)
+    head_dim = d
 
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
     scores = scores * (1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32)))
     if bias is not None:
@@ -103,8 +108,8 @@ def attention_core(
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 
     probs = probs.astype(vh.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
-    out = merge_heads(ctx)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+    out = ctx.reshape(b, sq, hd)
     if return_probs:
         return out, probs
     return out
