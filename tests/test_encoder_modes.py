@@ -24,7 +24,7 @@ class TestFastMode:
         cfg = tiny_config
         ids, feats, locs = _inputs(cfg, B=3)
         model = BertModel(cfg)
-        params = model.init(jax.random.PRNGKey(0), ids[:1], feats, locs)
+        params = model.init(jax.random.PRNGKey(0), ids, feats, locs)
 
         fast = BertModel(cfg.replace(fast_mode=True))
         out_fast = fast.apply(params, ids[:1], feats, locs)
