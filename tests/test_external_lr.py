@@ -1,0 +1,96 @@
+"""Exact multi-task LR semantics: optimizer steps per task, LR per iteration."""
+
+import numpy as np
+import pytest
+
+
+def test_external_lr_step_scales_updates():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+
+    def loss_fn(params, batch, rng):
+        return jnp.sum(params["w"] * batch["x"]), {}
+
+    tx = optax.sgd(1.0)
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    batch = {"x": jnp.arange(4, dtype=jnp.float32)}
+    step = make_train_step(loss_fn, tx, external_lr=True, jit=False)
+    state = TrainState.create(params, tx)
+    state, _ = step(state, batch, jax.random.PRNGKey(0), jnp.float32(0.5))
+    # grad = x; sgd(1.0) update = -x; external lr 0.5 -> w = 1 - 0.5*x
+    np.testing.assert_allclose(
+        np.asarray(state.params["w"]), 1.0 - 0.5 * np.arange(4), rtol=1e-6
+    )
+
+
+def test_external_lr_group_ratios(tiny_config):
+    """head group moves head_lr/base_lr times faster under external lr."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilbert_tpu.core.config import OptimizerConfig
+    from vilbert_tpu.train.optim import build_optimizer
+
+    params = {
+        "bert": {"w": jnp.ones((8, 8), jnp.float32)},
+        "vil_logit_dense": {"kernel": jnp.ones((8, 1), jnp.float32)},
+    }
+    cfg = OptimizerConfig(learning_rate=2e-5, head_lr=1e-4, weight_decay=0.0,
+                          schedule="constant", name="adamw")
+    tx, schedule = build_optimizer(cfg, params, 100, external_lr=True)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    base_u = float(np.abs(np.asarray(updates["bert"]["w"])).mean())
+    head_u = float(np.abs(np.asarray(updates["vil_logit_dense"]["kernel"])).mean())
+    np.testing.assert_allclose(head_u / base_u, 1e-4 / 2e-5, rtol=1e-4)
+    # schedule carries the absolute base lr
+    np.testing.assert_allclose(float(schedule(0)), 2e-5, rtol=1e-6)
+
+
+def test_multitask_lr_follows_iterations(tiny_config):
+    """Two tasks, warmup over iterations: both tasks' updates in iteration k
+    use schedule(k); the per-task optimizer step count does not drive LR."""
+    import jax
+
+    from vilbert_tpu.core.config import OptimizerConfig, TaskConfig
+    from vilbert_tpu.data import synthetic as syn
+    from vilbert_tpu.data.tasks import DataLoader, VQADataset
+    from vilbert_tpu.data.tokenization import HashTokenizer
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    cfg = tiny_config
+    tok = HashTokenizer(cfg.vocab_size)
+    store = syn.synthetic_store(num_images=8, num_boxes=5,
+                                feature_dim=cfg.v_feature_size)
+    mk = dict(tokenizer=tok, max_seq_length=10, max_region_num=6)
+    tasks, loaders = {}, {}
+    for i, key in enumerate(["TASK1", "TASK15"]):
+        tasks[key] = TaskConfig(
+            task_id=i + 1, name="VQA" if key == "TASK1" else "GenomeQA",
+            type="VL-classifier",
+            loss="BCEWithLogitLoss", max_seq_length=10, max_region_num=6,
+            batch_size=4, lr=1e-3, num_labels=13, num_epoch=2,
+        )
+        ds = VQADataset(syn.vqa_annotations(num=8, num_images=8), store,
+                        num_labels=13, **mk)
+        loaders[key] = DataLoader(ds, 4, seed=i)
+    trainer = MultiTaskTrainer(
+        cfg, tasks, loaders,
+        opt_cfg=OptimizerConfig(learning_rate=1e-3, schedule="warmup_linear",
+                                warmup_proportion=0.5),
+        num_labels=13, seed=0,
+    )
+    # iteration 0: schedule(0) == 0 -> NO param movement despite 2 optimizer
+    # steps (one per task)
+    before = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"]).copy()
+    trainer.train_iteration(0)
+    after0 = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"])
+    np.testing.assert_array_equal(before, after0)
+    # iteration 1: schedule(1) > 0 -> params move
+    trainer.train_iteration(1)
+    after1 = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"])
+    assert np.abs(after1 - after0).max() > 0

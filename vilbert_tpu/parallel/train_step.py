@@ -53,8 +53,9 @@ def make_train_step(
     *,
     grad_accum: int = 1,
     loss_scale: float = 1.0,
+    external_lr: bool = False,
     jit: bool = True,
-) -> Callable[[TrainState, Any, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build a fused forward+backward+update step.
 
     With ``grad_accum > 1`` the batch pytree must carry a leading
@@ -62,13 +63,21 @@ def make_train_step(
     microbatches via lax.scan (activations of only one microbatch live at a
     time). ``loss_scale`` mirrors the reference's per-task loss scaling
     (train_tasks.py:536: loss * loss_scale[task_id]).
+
+    With ``external_lr=True`` the step takes a 4th scalar argument that
+    multiplies the updates — build ``tx`` with unit learning rate (adamw is
+    linear in lr, weight decay included) and drive the schedule from the
+    host. This reproduces the reference multi-task semantics exactly:
+    optimizer.step per task, warmup/LR advanced once per iteration
+    (train_tasks.py:541-559).
     """
 
     grad_fn = jax.value_and_grad(
         lambda p, b, r: loss_fn(p, b, r), has_aux=True
     )
 
-    def step_fn(state: TrainState, batch: Any, rng: jax.Array):
+    def step_fn(state: TrainState, batch: Any, rng: jax.Array,
+                lr: Optional[jax.Array] = None):
         if grad_accum == 1:
             (loss, metrics), grads = grad_fn(state.params, batch, rng)
         else:
@@ -103,6 +112,9 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * loss_scale, grads)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if external_lr:
+            assert lr is not None, "external_lr step requires the lr argument"
+            updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["loss"] = loss

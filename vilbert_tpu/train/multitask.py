@@ -12,10 +12,11 @@ SURVEY.md §3.1) TPU-first:
 - per-task loss scaling lr_t/base_lr (train_tasks.py:239-251,:536),
 - round-robin over tasks each iteration with MultiTaskStopOnPlateau gating
   (train_tasks.py:516-521),
-- one optax optimizer over shared params; the LR schedule advances per
-  task-update with total_steps scaled by the task count, matching the
-  reference's per-iteration warmup shape (train_tasks.py:541-559 advances
-  warmup once per iteration while stepping the optimizer once per task).
+- EXACT reference LR semantics: the optimizer steps once per task but the
+  warmup/LR schedule advances once per iteration (train_tasks.py:541-559) —
+  implemented by building the optimizer with unit learning rate (per-group
+  constant ratios) and scaling updates by schedule(iteration) computed
+  host-side (adamw/radam are linear in lr, weight decay included).
 """
 
 from __future__ import annotations
@@ -224,11 +225,16 @@ class MultiTaskTrainer:
             )["params"]
         self.params0 = init_params
 
+        # schedule is a function of ITERATIONS: the LR advances once per
+        # round-robin iteration while the optimizer steps once per task —
+        # exact reference semantics (train_tasks.py:541-559) via the
+        # external-lr step (SURVEY.md §7 hard part 2)
         epochs = max(t.num_epoch for t in tasks.values())
-        total_updates = self.median_num_iter * epochs * max(len(tasks), 1) or 1000
+        total_iterations = self.median_num_iter * epochs or 1000
         self.tx, self.schedule = build_optimizer(
-            self.opt_cfg, init_params, total_updates,
+            self.opt_cfg, init_params, total_iterations,
             freeze_prefix=self.train_cfg.freeze_prefix,
+            external_lr=True,
         )
         self.state = TrainState.create(init_params, self.tx)
         self.mesh = mesh
@@ -252,7 +258,8 @@ class MultiTaskTrainer:
                 val_loader=val_loaders.get(key),
                 loss_scale=self.loss_scales[key],
                 step_fn=make_train_step(
-                    loss_fn, self.tx, loss_scale=self.loss_scales[key]
+                    loss_fn, self.tx, loss_scale=self.loss_scales[key],
+                    external_lr=True,
                 ),
                 eval_loss_fn=jax.jit(eval_loss_fn),
                 num_iters=len(loaders[key]),
@@ -314,6 +321,10 @@ class MultiTaskTrainer:
     def train_iteration(self, iter_id: int) -> Dict[str, Dict[str, float]]:
         """One round-robin pass over all tasks (train_tasks.py:513-570)."""
         out = {}
+        # LR computed from the iteration counter and shared by every task
+        # update of this iteration (reference warmup advances once per
+        # iteration, train_tasks.py:548-559)
+        lr = jnp.asarray(float(self.schedule(self.global_step)), jnp.float32)
         for key, task in self.tasks.items():
             if not self.controller.should_train(key, iter_id):
                 continue
@@ -324,7 +335,7 @@ class MultiTaskTrainer:
                     lambda x: jax.device_put(x, self._batch_sharding), batch
                 )
             self.rng, sub = jax.random.split(self.rng)
-            self.state, metrics = task.step_fn(self.state, batch, sub)
+            self.state, metrics = task.step_fn(self.state, batch, sub, lr)
             out[key] = metrics
         if self.metrics_logger is not None:
             for key, m in out.items():

@@ -142,10 +142,19 @@ def build_optimizer(
     total_steps: int,
     *,
     freeze_prefix: str = "",
+    external_lr: bool = False,
 ) -> Tuple[optax.GradientTransformation, Callable[[int], jax.Array]]:
     """Build the full transformation incl. param groups and clipping.
 
     Returns (tx, schedule_fn) — schedule_fn is exposed for logging.
+
+    With ``external_lr=True`` the per-group learning rates inside ``tx`` are
+    constant RATIOS relative to cfg.learning_rate (base = 1.0); the caller
+    multiplies the updates by ``schedule_fn(iteration)`` each step (see
+    parallel.train_step.make_train_step(external_lr=True)). adamw/radam are
+    linear in lr (weight decay included), so the result is identical math
+    with the schedule driven by the host's iteration counter — the exact
+    reference multi-task semantics (train_tasks.py:541-559).
     """
     labels = label_params(
         params,
@@ -154,18 +163,22 @@ def build_optimizer(
         pretrained_lr_scale=cfg.pretrained_lr_scale,
     )
     schedule = make_schedule(cfg, cfg.learning_rate, total_steps)
+
+    def group_lr(lr: float):
+        if external_lr:
+            return lr / cfg.learning_rate  # constant ratio
+        return make_schedule(cfg, lr, total_steps)
+
     transforms: Dict[str, optax.GradientTransformation] = {
-        "base": _base_transform(cfg, schedule, params)
+        "base": _base_transform(cfg, group_lr(cfg.learning_rate), params)
     }
     label_set = set(jax.tree.leaves(labels))
     if "head" in label_set:
-        head_schedule = make_schedule(cfg, cfg.head_lr, total_steps)
-        transforms["head"] = _base_transform(cfg, head_schedule, params)
+        transforms["head"] = _base_transform(cfg, group_lr(cfg.head_lr), params)
     if "pretrained_scaled" in label_set:
-        scaled = make_schedule(
-            cfg, cfg.learning_rate * cfg.pretrained_lr_scale, total_steps
+        transforms["pretrained_scaled"] = _base_transform(
+            cfg, group_lr(cfg.learning_rate * cfg.pretrained_lr_scale), params
         )
-        transforms["pretrained_scaled"] = _base_transform(cfg, scaled, params)
     if "frozen" in label_set:
         transforms["frozen"] = optax.set_to_zero()
 
