@@ -260,3 +260,4 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     freeze_prefix: str = ""        # freeze params whose path starts with this
     train_iter_gap: int = 4        # gating for stopped tasks (train_tasks.py:516-521)
+    prefetch_batches: int = 2      # per-task device prefetch depth (0 = off)

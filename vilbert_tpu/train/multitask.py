@@ -161,10 +161,30 @@ class TaskRuntime:
     eval_loss_fn: Callable
     iterator: Iterator = None
     num_iters: int = 0
+    prefetch_batches: int = 0
+    batch_sharding: Any = None
 
     def next_batch(self):
         if self.iterator is None:
-            self.iterator = iter(self.loader)
+            if self.prefetch_batches > 0:
+                # endless stream staged on device ahead of compute
+                # (replaces the reference's pin_memory + cuda(non_blocking),
+                # task_utils.py:181-187)
+                from vilbert_tpu.data.prefetch import (
+                    device_prefetch, repeat_iterator,
+                )
+
+                def drop_qid(b):
+                    return {k: v for k, v in b.items() if k != "question_id"}
+
+                self.iterator = device_prefetch(
+                    repeat_iterator(lambda: iter(self.loader)),
+                    size=self.prefetch_batches,
+                    sharding=self.batch_sharding,
+                    transform=drop_qid,
+                )
+            else:
+                self.iterator = iter(self.loader)
         try:
             return next(self.iterator)
         except StopIteration:
@@ -263,6 +283,8 @@ class MultiTaskTrainer:
                 ),
                 eval_loss_fn=jax.jit(eval_loss_fn),
                 num_iters=len(loaders[key]),
+                prefetch_batches=self.train_cfg.prefetch_batches,
+                batch_sharding=self._batch_sharding,
             )
         self.controller = MultiTaskStopController(
             list(tasks), train_iter_gap=self.train_cfg.train_iter_gap
