@@ -25,6 +25,27 @@ def _jsonlines(path: str):
                 yield json.loads(line)
 
 
+def load_clean_ids(dataroot: str, which: str) -> List[int]:
+    """Test-set image ids to drop from training ("clean_datasets" in the
+    reference: cache/{coco|flickr}_test_ids.npy, e.g.
+    visual_entailment_dataset.py:47-52, retreival_dataset.py:35-43).
+    Returns [] when the cache file is absent."""
+    path = os.path.join(dataroot, "cache", f"{which}_test_ids.npy")
+    if not os.path.exists(path):
+        return []
+    return [int(x) for x in np.load(path)]
+
+
+def filter_clean(
+    annotations: List[Annotation], remove_ids: Sequence[int]
+) -> List[Annotation]:
+    """Drop training annotations whose image appears in a test pool."""
+    if not remove_ids:
+        return annotations
+    remove = {str(int(i)) for i in remove_ids}
+    return [a for a in annotations if a.image_id not in remove]
+
+
 def load_vqa(
     dataroot: str, split: str = "train"
 ) -> List[Annotation]:

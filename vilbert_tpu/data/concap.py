@@ -68,20 +68,23 @@ class ConceptCapPreprocessor:
         return caption, 0
 
     def random_word(self, ids: List[int], rng: np.random.Generator):
-        """BERT 15% masking, 80/10/10 (concept_cap_dataset.py:608-636)."""
-        labels = []
-        for i, token in enumerate(ids):
-            prob = rng.random()
-            if prob < 0.15 and not self.cfg.visualization:
-                prob /= 0.15
-                if prob < 0.8:
-                    ids[i] = self.tokenizer.mask_token_id
-                elif prob < 0.9:
-                    ids[i] = int(rng.integers(0, self.tokenizer.vocab_size))
-                labels.append(token)
-            else:
-                labels.append(-1)
-        return ids, labels
+        """BERT 15% masking, 80/10/10 (concept_cap_dataset.py:608-636).
+        Vectorized: one probability draw per token, same marginal
+        distribution as the reference's sequential draws."""
+        if self.cfg.visualization or not ids:
+            return ids, [-1] * len(ids)
+        arr = np.asarray(ids, np.int64)
+        probs = rng.random(len(arr))
+        selected = probs < 0.15
+        sub = probs / 0.15
+        labels = np.where(selected, arr, -1)
+        to_mask = selected & (sub < 0.8)
+        to_rand = selected & (sub >= 0.8) & (sub < 0.9)
+        arr[to_mask] = self.tokenizer.mask_token_id
+        n_rand = int(to_rand.sum())
+        if n_rand:
+            arr[to_rand] = rng.integers(0, self.tokenizer.vocab_size, n_rand)
+        return arr.tolist(), labels.tolist()
 
     def random_region(
         self,
@@ -92,18 +95,19 @@ class ConceptCapPreprocessor:
     ):
         """15% region masking, 90% zeroed, with overlap>0.4 co-mask recording
         (concept_cap_dataset.py:638-670). ``overlaps`` covers the first
-        ``num_boxes`` rows; outputs span the padded region table."""
+        ``num_boxes`` rows; outputs span the padded region table. Vectorized."""
         labels = np.full((image_feat.shape[0],), -1, np.int64)
         masked_label = np.zeros((image_feat.shape[0],), bool)
+        if self.cfg.visualization or num_boxes == 0:
+            return image_feat, labels, masked_label
         k = overlaps.shape[1]
-        for i in range(num_boxes):
-            prob = rng.random()
-            if prob < 0.15 and not self.cfg.visualization:
-                prob /= 0.15
-                if prob < 0.9:
-                    image_feat[i] = 0
-                masked_label[:k] |= overlaps[i] > 0.4
-                labels[i] = 1
+        probs = rng.random(num_boxes)
+        selected = probs < 0.15
+        zeroed = selected & (probs / 0.15 < 0.9)
+        image_feat[:num_boxes][zeroed] = 0
+        labels[:num_boxes][selected] = 1
+        if selected.any():
+            masked_label[:k] = (overlaps[selected] > 0.4).any(axis=0)
         return image_feat, labels, masked_label
 
     # -- full sample --------------------------------------------------------

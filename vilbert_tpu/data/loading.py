@@ -24,7 +24,35 @@ logger = logging.getLogger(__name__)
 NUM_LABELS = {"VQA": 3129, "GenomeQA": 3129, "GQA": 1533}
 
 
-def _load_annotations(task: TaskConfig, split: str):
+#: tasks whose TRAIN split drops test-pool images when the cache npy exists
+#: (reference clean_datasets, visual_entailment_dataset.py:47-52,
+#: retreival_dataset.py:35-43)
+_CLEAN_POOLS = {
+    "VisualEntailment": "flickr",
+    "RetrievalCOCO": "coco",
+    "RetrievalFlickr30k": "flickr",
+    "FlickrGrounding": "flickr",
+    "Foil": "coco",
+}
+
+
+def _load_annotations(task: TaskConfig, split: str, clean_datasets: bool = True):
+    anns = _load_annotations_raw(task, split)
+    if (
+        clean_datasets
+        and split.startswith("train")
+        and task.name in _CLEAN_POOLS
+    ):
+        remove = ann.load_clean_ids(task.dataroot, _CLEAN_POOLS[task.name])
+        if remove:
+            before = len(anns)
+            anns = ann.filter_clean(anns, remove)
+            logger.info("clean_datasets %s: %d -> %d annotations",
+                        task.name, before, len(anns))
+    return anns
+
+
+def _load_annotations_raw(task: TaskConfig, split: str):
     name = task.name
     root = task.dataroot
     if name in ("VQA", "GenomeQA"):
