@@ -11,8 +11,18 @@ import os
 
 
 def enable_compilation_cache(path: str = "") -> None:
+    """Enable the persistent cache — TPU platform only.
+
+    XLA:CPU AOT artifacts are machine-feature-pinned; with a remote-compile
+    TPU backend the host-side programs in the cache may have been compiled on
+    a different machine, and reloading them from a pure-CPU process warns
+    "could lead to execution errors such as SIGILL". CPU runs therefore skip
+    the cache entirely.
+    """
     import jax
 
+    if jax.default_backend() != "tpu":
+        return
     path = path or os.environ.get("VILBERT_TPU_CACHE", "/tmp/vilbert_tpu_jax_cache")
     os.makedirs(path, exist_ok=True)
     try:
