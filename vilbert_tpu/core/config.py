@@ -241,7 +241,10 @@ class OptimizerConfig:
     eps: float = 1e-6
     weight_decay: float = 0.01
     warmup_proportion: float = 0.1
-    schedule: str = "warmup_linear"  # "warmup_linear" | "warmup_constant" | "constant"
+    # per-iteration: "warmup_linear" | "warmup_constant" | "constant";
+    # epoch-composed (reference train_tasks.py:440-457, require external_lr):
+    # "mannul" | "automatic" | "cosine" | "cosine_warm"
+    schedule: str = "warmup_linear"
     head_lr: Optional[float] = None  # lr override for task heads ("vil_" params)
     pretrained_lr_scale: float = 1.0  # lr multiplier for pretrained BERT params
     grad_clip_norm: Optional[float] = None

@@ -106,9 +106,16 @@ class StopOnPlateau:
 class MultiTaskStopController:
     """One StopOnPlateau per task plus the train_iter_gap gating."""
 
-    def __init__(self, task_ids, patience: int = 4, train_iter_gap: int = 4):
+    def __init__(self, task_ids, patience: int = 1, train_iter_gap: int = 4):
+        # reference recipe: MultiTaskStopOnPlateau(mode="max", patience=1,
+        # continue_threshold=0.005, cooldown=1, threshold=0.001)
+        # (train_tasks.py:342-348)
         self.controllers: Dict[str, StopOnPlateau] = {
-            t: StopOnPlateau(mode="max", patience=patience) for t in task_ids
+            t: StopOnPlateau(
+                mode="max", patience=patience, continue_threshold=0.005,
+                cooldown=1, threshold=0.001,
+            )
+            for t in task_ids
         }
         self.train_iter_gap = train_iter_gap
 

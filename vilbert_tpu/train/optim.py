@@ -23,17 +23,16 @@ import optax
 
 from vilbert_tpu.core.config import OptimizerConfig
 
-#: flax param-path prefixes of the task heads (reference: every param whose
-#: name contains "vil_" plus the classifier/logit heads, train_tasks.py:379-398)
+#: flax param-path prefixes of the task heads. The reference gives the head
+#: LR (1e-4) to exactly the params whose name contains "vil_"
+#: (train_tasks.py:403-406) — NOT vision_logit/linguisic_logit/cls, which
+#: train at base_lr.
 HEAD_PREFIXES = (
     "vil_prediction",
     "vil_prediction_gqa",
     "vil_binary_prediction",
     "vil_logit_dense",
     "vil_tri_dense",
-    "vision_logit_dense",
-    "linguisic_logit_dense",
-    "cls",
 )
 
 #: no weight decay for biases and LayerNorm params (train_tasks.py:399-411)
@@ -75,6 +74,95 @@ def warmup_constant_schedule(
     return fn
 
 
+#: schedules that compose a per-iteration warmup with an epoch-level scheduler
+#: (reference train_tasks.py:440-457); they carry host state and therefore
+#: require the external-lr step (multi-task trainer).
+EPOCH_SCHEDULES = ("mannul", "automatic", "cosine", "cosine_warm")
+
+#: epochs at whose END the "mannul" scheduler multiplies the LR by 0.2
+#: (reference lr_reduce_list = [5, 7]: the ×0.2**k factor applies from the
+#: start of epoch 5 resp. 7, train_tasks.py:439,:604-605)
+LR_REDUCE_EPOCHS = (5, 7)
+
+
+class HostLRScheduler:
+    """The reference train_tasks.py LR family, evaluated host-side.
+
+    Reproduces the composition of two torch schedulers over one optimizer
+    (train_tasks.py:431-457):
+
+    - every iteration, WarmupConstantSchedule ramps 0→base over the warmup
+      then holds (it stops stepping after warmup, train_tasks.py:552-556);
+    - "mannul": LambdaLR ×0.2**|{5,7} ≤ epoch| stepped at epoch end
+      (train_tasks.py:604-605) — the reference DEFAULT;
+    - "automatic": ReduceLROnPlateau(mode=max, factor=0.2, patience=1,
+      cooldown=1, threshold=0.001) stepped on the summed val scores at epoch
+      end (train_tasks.py:595-597);
+    - "cosine"/"cosine_warm": CosineAnnealing(T=total_steps) stepped once per
+      iteration after warmup (train_tasks.py:571-573), closed form.
+
+    Callable(step) → float LR; ``on_epoch_end(epoch, val_score_sum)`` applies
+    the epoch-level transition. State is checkpointable via state_dict().
+    """
+
+    def __init__(self, kind: str, base_lr: float, total_steps: int,
+                 warmup_proportion: float):
+        assert kind in EPOCH_SCHEDULES, kind
+        self.kind = kind
+        self.base_lr = base_lr
+        self.total_steps = max(total_steps, 1)
+        self.warmup_steps = max(int(self.total_steps * warmup_proportion), 1)
+        self.decay_factor = 1.0
+        # ReduceLROnPlateau state (torch defaults: threshold_mode="rel")
+        self.plateau_best = -float("inf")
+        self.plateau_bad = 0
+        self.plateau_cooldown = 0
+
+    def __call__(self, step) -> float:
+        import math
+
+        step = float(step)
+        warm = min(step / self.warmup_steps, 1.0)
+        if self.kind in ("mannul", "automatic"):
+            return self.base_lr * warm * self.decay_factor
+        # cosine family: the annealer steps once per iteration past warmup
+        # with T_max/T_0 = total_steps (train_tasks.py:444-452,:571-573) — so
+        # t lags ``step`` by the warmup and the curve never quite reaches 0
+        t = max(step - self.warmup_steps, 0.0)
+        T = float(self.total_steps)
+        if self.kind == "cosine_warm":
+            t = t % T
+        return self.base_lr * warm * 0.5 * (1.0 + math.cos(math.pi * min(t / T, 1.0)))
+
+    def on_epoch_end(self, epoch: int, val_score_sum: Optional[float] = None):
+        if self.kind == "mannul":
+            nxt = epoch + 1
+            self.decay_factor = 0.2 ** sum(1 for r in LR_REDUCE_EPOCHS if r <= nxt)
+        elif self.kind == "automatic" and val_score_sum is not None:
+            a = float(val_score_sum)
+            if a > self.plateau_best * (1.0 + 0.001):
+                self.plateau_best = a
+                self.plateau_bad = 0
+            else:
+                self.plateau_bad += 1
+            if self.plateau_cooldown > 0:
+                self.plateau_cooldown -= 1
+                self.plateau_bad = 0
+            if self.plateau_bad > 1:  # patience=1
+                self.decay_factor *= 0.2
+                self.plateau_cooldown = 1  # cooldown=1
+                self.plateau_bad = 0
+
+    def state_dict(self) -> Dict[str, float]:
+        return {k: getattr(self, k) for k in
+                ("decay_factor", "plateau_best", "plateau_bad",
+                 "plateau_cooldown")}
+
+    def load_state_dict(self, d: Mapping[str, float]) -> None:
+        for k, v in d.items():
+            setattr(self, k, v)
+
+
 def make_schedule(cfg: OptimizerConfig, base_lr: float, total_steps: int):
     if cfg.schedule == "warmup_linear":
         return warmup_linear_schedule(base_lr, total_steps, cfg.warmup_proportion)
@@ -82,6 +170,10 @@ def make_schedule(cfg: OptimizerConfig, base_lr: float, total_steps: int):
         return warmup_constant_schedule(base_lr, total_steps, cfg.warmup_proportion)
     if cfg.schedule == "constant":
         return lambda step: base_lr
+    if cfg.schedule in EPOCH_SCHEDULES:
+        return HostLRScheduler(
+            cfg.schedule, base_lr, total_steps, cfg.warmup_proportion
+        )
     raise ValueError(cfg.schedule)
 
 
@@ -156,6 +248,11 @@ def build_optimizer(
     with the schedule driven by the host's iteration counter — the exact
     reference multi-task semantics (train_tasks.py:541-559).
     """
+    if cfg.schedule in EPOCH_SCHEDULES and not external_lr:
+        raise ValueError(
+            f"schedule {cfg.schedule!r} carries host state (epoch-level LR "
+            "transitions) and requires external_lr=True"
+        )
     labels = label_params(
         params,
         freeze_prefix=freeze_prefix,
