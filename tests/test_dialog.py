@@ -18,7 +18,8 @@ def test_dialog_end_to_end(tiny_config):
     tok = HashTokenizer(cfg.vocab_size)
     store = syn.synthetic_store(num_images=4, num_boxes=5, feature_dim=cfg.v_feature_size)
     rounds = [
-        {"question": f"question number {r}", "answer": f"answer {r}",
+        {"question": f"question number {r}", "answer": f"option {r + 1} round {r}",
+         "gt_index": r + 1,
          "options": [f"option {j} round {r}" for j in range(5)]}
         for r in range(3)
     ]
@@ -29,7 +30,7 @@ def test_dialog_end_to_end(tiny_config):
     ]
     ds = VisDialDataset(
         dialogs, store, tok, max_seq_length=16, max_region_num=6,
-        num_rounds=3, num_options=4,
+        num_rounds=3, num_options=4, total_seq_length=16,
     )
     loader = DataLoader(ds, 2, shuffle=False)
     batch = next(iter(loader))
@@ -37,6 +38,35 @@ def test_dialog_end_to_end(tiny_config):
     assert batch["target"].shape == (2, 3)
     # ground-truth option is always candidate 0
     assert (batch["target"] == 0).all()
+
+    # candidate 0 of round 0 encodes q [SEP] options[gt_index] [SEP] caption:
+    # [CLS] q(2 tokens) [SEP] a(3) [SEP] fact(caption, 2) [SEP]
+    row = batch["question"][0, 0, 0]
+    seg = batch["segment_ids"][0, 0, 0]
+    q_ids = tok.encode("question number 0")
+    a_ids = tok.encode("option 1 round 0")
+    cap = tok.encode("caption 0")
+    expect = ([tok.cls_token_id] + q_ids + [tok.sep_token_id] + a_ids
+              + [tok.sep_token_id] + cap + [tok.sep_token_id])
+    assert row[: len(expect)].tolist() == expect
+    # answer span is segment 1, question/fact segment 0 (reference :229-262)
+    assert seg[: len(expect)].tolist() == (
+        [0] * (len(q_ids) + 2) + [1] * (len(a_ids) + 1) + [0] * (len(cap) + 1)
+    )
+    # round 1's fact prepends q0 [SEP] a0 before the caption
+    row1 = batch["question"][0, 1, 0].tolist()
+    fact = (q_ids[:0] or []) + tok.encode("question number 0") + [
+        tok.sep_token_id] + tok.encode("option 1 round 0")
+    expect1_prefix = ([tok.cls_token_id] + tok.encode("question number 1")
+                      + [tok.sep_token_id])
+    assert row1[: len(expect1_prefix)] == expect1_prefix
+    assert fact[0] in row1  # history tokens present
+
+    # distractor candidates never duplicate the gt option
+    for r in range(3):
+        gt_row = batch["question"][0, r, 0].tolist()
+        for i in range(1, 4):
+            assert batch["question"][0, r, i].tolist() != gt_row
 
     # process-mode flattening: 2 samples * 3 rounds * 4 options
     import jax.numpy as jnp

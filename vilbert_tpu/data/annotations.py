@@ -278,39 +278,216 @@ def load_vcr(
 
 
 def load_visual7w_pointing(
-    dataroot: str, split: str = "train"
+    dataroot: str, split: str = "train", clean_datasets: bool = True
 ) -> List[Annotation]:
     """Visual7w pointing json dataset_v7w_pointing.json: images with qa_pairs
     {question, answer (box id), multiple_choices (box ids)} + boxes
-    (reference visual7w_pointing_dataset.py:60-130)."""
+    (reference visual7w_pointing_dataset.py:128-183).
+
+    mc_idx: per image, the GT feature store's rows follow the SORTED set of
+    every box id mentioned by that image's qa_pairs; each qa's 4 options
+    (sorted multiple_choices + answer) become indices into that order —
+    resolved by PointingDataset to mixed rows 101+idx
+    (visual7w_pointing_dataset.py:159-176, :263-268).
+
+    Feature-store keys carry the reference's "v7w_" prefix
+    (visual7w_pointing_dataset.py:240-242). Train drops genome test-pool
+    images; "mteval" keeps ONLY them (reference :131-138,:155-159).
+    """
+    remove_ids: set = set()
+    if clean_datasets or split == "mteval":
+        path = os.path.join(dataroot, "cache", "genome_test_ids.npy")
+        if os.path.exists(path):
+            remove_ids = {int(x) for x in np.load(path)}
     data = json.load(
         open(os.path.join(dataroot, "dataset_v7w_pointing.json"))
     )
-    boxes_by_id = {b["box_id"]: b for b in data.get("boxes", [])}
+    boxes_by_id = {
+        b["box_id"]: [b["x"], b["y"], b["x"] + b["width"], b["y"] + b["height"]]
+        for b in data.get("boxes", [])
+    }
+    eff_split = "train" if split == "mteval" else split
     out = []
-    count = 0
     for image in data["images"]:
-        if image["split"] != split:
+        if image["split"] != eff_split:
             continue
+        img_id = int(image["image_id"])
+        if split == "train" and img_id in remove_ids:
+            continue
+        if split == "mteval" and img_id not in remove_ids:
+            continue
+        bboxes: List[int] = []
         for qa in image["qa_pairs"]:
-            ans = boxes_by_id.get(qa["answer"])
-            if ans is None:
-                continue
-            box = np.array(
-                [ans["x"], ans["y"], ans["x"] + ans["width"],
-                 ans["y"] + ans["height"]], np.float32,
-            )
+            bboxes.extend(qa["multiple_choices"])
+            bboxes.append(qa["answer"])
+        bboxes = sorted(set(bboxes))
+        for qa in image["qa_pairs"]:
+            mc_idx = [
+                bboxes.index(a)
+                for a in sorted(qa["multiple_choices"] + [qa["answer"]])
+            ]
             out.append(
                 Annotation(
-                    question_id=qa.get("qa_id", count),
-                    image_id=str(image["image_id"]),
+                    question_id=qa["qa_id"],
+                    image_id=f"v7w_{img_id}",
                     text=qa["question"],
-                    ref_box=box,
-                    # option rows are appended behind the detector block by
-                    # the dataset; indices resolved there
+                    ref_box=np.asarray(boxes_by_id[qa["answer"]], np.float32),
+                    mc_idx=np.asarray(mc_idx, np.int64),
                 )
             )
-            count += 1
+    return out
+
+
+def load_guesswhat_pointing(
+    dataroot: str, split: str = "train", clean_datasets: bool = True
+) -> List[Annotation]:
+    """TASK17 GuessWhat?! pointing (reference
+    guesswhat_pointing_dataset.py:133-202).
+
+    Inputs: guesswhat.{split}.jsonl games plus two caches built with the
+    GT-box feature extraction: cache/image_bbox_list.pkl
+    (image_id -> {"bboxes": [object ids]}, defining the GT store's row
+    order as the sorted unique ids) and cache/bboxes_dict.pkl
+    (object id -> [x1,y1,x2,y2]).
+
+    Text is the whole dialogue flattened "start {q} answer {a} stop ..."
+    (:212-215); mc_idx holds the game's (sorted) object ids resolved into
+    the per-image GT row order — PointingDataset pads them to num_options
+    with the out-of-range row the reference uses (:252-253: mc + [204]*204).
+    Train drops coco test-pool images; "mteval" keeps only them.
+    """
+    remove_ids: set = set()
+    if clean_datasets or split == "mteval":
+        path = os.path.join(dataroot, "cache", "coco_test_ids.npy")
+        if os.path.exists(path):
+            remove_ids = {int(x) for x in np.load(path)}
+    with open(os.path.join(dataroot, "cache", "image_bbox_list.pkl"), "rb") as f:
+        all_images = pickle.load(f)
+    with open(os.path.join(dataroot, "cache", "bboxes_dict.pkl"), "rb") as f:
+        boxes_dict = pickle.load(f)
+    eff_split = "train" if split == "mteval" else split
+    path = os.path.join(dataroot, f"guesswhat.{eff_split}.jsonl")
+    out = []
+    for game in _jsonlines(path):
+        img_id = int(game["image"]["id"])
+        if split == "train" and img_id in remove_ids:
+            continue
+        if split == "mteval" and img_id not in remove_ids:
+            continue
+        text = "".join(
+            f"start {qa['question']} answer {qa['answer']} stop "
+            for qa in game["qas"]
+        )
+        total_bboxes = sorted(set(all_images[game["image"]["id"]]["bboxes"]))
+        mc_idx = [
+            total_bboxes.index(o["id"]) for o in sorted(
+                game["objects"], key=lambda o: o["id"]
+            )
+        ]
+        out.append(
+            Annotation(
+                question_id=game["id"],
+                image_id=str(img_id),
+                text=text,
+                ref_box=np.asarray(boxes_dict[game["object_id"]], np.float32),
+                mc_idx=np.asarray(mc_idx, np.int64),
+            )
+        )
+    return out
+
+
+def _flickr_sentences(path: str) -> List[Dict]:
+    """Parse a Flickr30k Entities sentence file: phrases are bracketed
+    "[/EN#id/type words...]" spans (reference
+    flickr_grounding_dataset.py:63-132)."""
+    out = []
+    with open(path) as f:
+        for sentence in f.read().split("\n"):
+            if not sentence:
+                continue
+            phrases, current, pid = [], [], []
+            in_phrase = False
+            for token in sentence.split():
+                if in_phrase:
+                    if token.endswith("]"):
+                        in_phrase = False
+                        current.append(token[:-1])
+                        phrases.append(" ".join(current))
+                        current = []
+                    else:
+                        current.append(token)
+                elif token.startswith("["):
+                    in_phrase = True
+                    pid.append(token.split("/")[1][3:])  # EN#<id>
+            out.append(
+                {"phrases": [
+                    {"phrase": ph, "phrase_id": i}
+                    for ph, i in zip(phrases, pid)
+                ]}
+            )
+    return out
+
+
+def _flickr_boxes(path: str) -> Dict[str, List[List[int]]]:
+    """Parse a Flickr30k Entities annotation xml: object/name holds the
+    phrase id, bndbox the (1-based) corners (reference
+    flickr_grounding_dataset.py:135-179)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    boxes: Dict[str, List[List[int]]] = {}
+    for obj in root.findall("object"):
+        for names in obj.findall("name"):
+            box_id = names.text
+            bnd = obj.findall("bndbox")
+            if bnd:
+                coords = [
+                    int(bnd[0].findall(t)[0].text) - 1
+                    for t in ("xmin", "ymin", "xmax", "ymax")
+                ]
+                boxes.setdefault(box_id, []).append(coords)
+    return boxes
+
+
+def load_flickr_grounding(
+    dataroot: str, split: str = "train", clean_datasets: bool = True
+) -> List[Annotation]:
+    """TASK18 Flickr30k Entities grounding (reference
+    flickr_grounding_dataset.py:253-299): {split}.txt lists image ids;
+    Sentences/{img}.txt + Annotations/{img}.xml give per-phrase boxes. Every
+    phrase with at least one box becomes a V-logit example (first box is the
+    target, :287-296)."""
+    remove_ids: set = set()
+    if clean_datasets:
+        path = os.path.join(dataroot, "cache", "flickr_test_ids.npy")
+        if os.path.exists(path):
+            remove_ids = {int(x) for x in np.load(path)}
+    with open(os.path.join(dataroot, f"{split}.txt")) as f:
+        images = f.read().splitlines()
+    out = []
+    for img in images:
+        if not img:
+            continue
+        if split == "train" and int(img) in remove_ids:
+            continue
+        boxes = _flickr_boxes(
+            os.path.join(dataroot, "Annotations", f"{img}.xml")
+        )
+        sentences = _flickr_sentences(
+            os.path.join(dataroot, "Sentences", f"{img}.txt")
+        )
+        for sent in sentences:
+            for phrase in sent["phrases"]:
+                pid = str(phrase["phrase_id"])
+                if pid in boxes:
+                    out.append(
+                        Annotation(
+                            question_id=int(pid),
+                            image_id=str(int(img)),
+                            text=phrase["phrase"],
+                            ref_box=np.asarray(boxes[pid][0], np.float32),
+                        )
+                    )
     return out
 
 
@@ -354,6 +531,9 @@ def load_visdial(annotations_jsonpath: str, num_options: int = 100):
                 {
                     "question": questions[rnd["question"]],
                     "answer": answers[rnd["answer"]],
+                    # index of the GT answer within options (reference uses
+                    # answer_options[gt_index] as candidate 0, :219-227)
+                    "gt_index": int(rnd.get("gt_index", 0)),
                     "options": [answers[j] for j in opts_idx],
                 }
             )

@@ -86,6 +86,10 @@ def _load_annotations_raw(task: TaskConfig, split: str):
         path = (task.train_annotations_jsonpath if split.startswith("train")
                 else task.val_annotations_jsonpath)
         return ann.load_foil(path)
+    if name == "GuessWhatPointing":
+        return ann.load_guesswhat_pointing(root, split)
+    if name == "FlickrGrounding":
+        return ann.load_flickr_grounding(root, split)
     raise NotImplementedError(
         f"no annotation loader wired for task {name}; construct the dataset "
         f"directly via DATASET_REGISTRY"
@@ -132,6 +136,10 @@ def load_datasets(
             store_gt=store_gt,
         )
         extra = {}
+        if task.name == "GuessWhatPointing":
+            # reference pads the per-game object list to 204 options
+            # (guesswhat_pointing_dataset.py:252-253)
+            extra["num_options"] = 204
         if task.name.startswith("Retrieval"):
             # precomputed 100-NN hard negatives (reference
             # retreival_dataset.py:97-107; built by
@@ -152,8 +160,10 @@ def load_datasets(
             shard_id=shard_id, num_shards=num_shards,
         )
         if with_val:
+            extra_val = {k: v for k, v in extra.items() if k == "num_options"}
             val_ds = cls(
-                _load_annotations(task, task.val_split), split="val", **common
+                _load_annotations(task, task.val_split), split="val",
+                **common, **extra_val,
             )
             val_loaders[key] = DataLoader(
                 val_ds, task.eval_batch_size or batch, shuffle=False,

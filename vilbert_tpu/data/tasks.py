@@ -91,6 +91,9 @@ class TaskDataset:
         self.max_region_num = max_region_num
         self.num_labels = num_labels
         self.split = split
+        #: digest -> original question id (submission files need the true
+        #: string ids for GQA/VCR; the batch tensor carries an int64 digest)
+        self.qid_map: Dict[int, Any] = {}
 
     def __len__(self) -> int:
         return len(self.annotations)
@@ -111,35 +114,49 @@ class TaskDataset:
         mask[:n] = 1
         return feats, spatials, mask, n
 
-    def _mixed_image_tensors(self, image_id: str, max_regions: Optional[int] = None):
+    def _mixed_image_tensors(
+        self,
+        image_id: str,
+        max_regions: Optional[int] = None,
+        det_block: Optional[int] = None,
+    ):
         """Detector + GT boxes merged (reference refer/visual7w pattern,
         refer_expression_dataset.py:247-278). Returns also the pixel boxes of
-        every kept row for IoU targets."""
+        every kept row for IoU targets.
+
+        With ``det_block`` the detector rows occupy exactly [0, det_block)
+        (truncated or zero-padded) and GT rows start at ``det_block`` — the
+        row layout the mc gather offset 101 assumes (the reference relies on
+        its artifacts always holding 100 detector boxes + global row,
+        visual7w_pointing_dataset.py:263-268)."""
         max_regions = max_regions or self.max_region_num
         det = read_with_global(self.store.get(image_id))
-        rf_det = self.store.get(image_id)
-        n_det = min(det.num_boxes, max_regions)
-        rows_feats = [det.features[:n_det]]
-        rows_locs = [det.locations[:n_det]]
-        boxes_ori = [det.locations_ori[:n_det, :4]]
+        n_det = min(det.num_boxes, det_block or max_regions, max_regions)
+        gt_start = det_block if det_block is not None else n_det
+        rows = [(0, n_det, det.features, det.locations, det.locations_ori)]
         n_total = n_det
-        if self.store_gt is not None:
+        mask_rows = [(0, n_det)]
+        if self.store_gt is not None and gt_start < max_regions:
             gt = read_with_global(self.store_gt.get(image_id))
             # skip the gt global row (reference keeps gt boxes 1..)
-            g = min(gt.num_boxes - 1, max_regions - n_det)
+            g = min(gt.num_boxes - 1, max_regions - gt_start)
             if g > 0:
-                rows_feats.append(gt.features[1 : 1 + g])
-                rows_locs.append(gt.locations[1 : 1 + g])
-                boxes_ori.append(gt.locations_ori[1 : 1 + g, :4])
-                n_total += g
-        feats = np.zeros((max_regions, rows_feats[0].shape[1]), np.float32)
+                rows.append(
+                    (gt_start, g, gt.features[1:], gt.locations[1:],
+                     gt.locations_ori[1:])
+                )
+                mask_rows.append((gt_start, g))
+                n_total = gt_start + g
+        feats = np.zeros((max_regions, rows[0][2].shape[1]), np.float32)
         spatials = np.zeros((max_regions, 5), np.float32)
         mask = np.zeros((max_regions,), np.int32)
-        feats[:n_total] = np.concatenate(rows_feats)[:max_regions]
-        spatials[:n_total] = np.concatenate(rows_locs)[:max_regions]
-        mask[:n_total] = 1
         boxes = np.zeros((max_regions, 4), np.float32)
-        boxes[:n_total] = np.concatenate(boxes_ori)[:max_regions]
+        for start, n, f, loc, loc_ori in rows:
+            feats[start : start + n] = f[:n]
+            spatials[start : start + n] = loc[:n]
+            boxes[start : start + n] = loc_ori[:n, :4]
+        for start, n in mask_rows:
+            mask[start : start + n] = 1
         return feats, spatials, mask, boxes, n_total
 
     def _encode_single(self, text: str):
@@ -174,8 +191,14 @@ class TaskDataset:
             "co_attention_mask": np.zeros(
                 (self.max_region_num, self.max_seq_length), np.float32
             ),
-            "question_id": np.asarray(_qid(ann.question_id), np.int64),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
         }
+
+    def _qid_for(self, ann: Annotation) -> int:
+        q = _qid(ann.question_id)
+        if not isinstance(ann.question_id, (int, np.integer)):
+            self.qid_map[q] = ann.question_id
+        return q
 
     # -- subclass hook ------------------------------------------------------
 
@@ -186,7 +209,12 @@ class TaskDataset:
 def _qid(qid: Any) -> int:
     if isinstance(qid, (int, np.integer)):
         return int(qid)
-    return hash(str(qid)) % 2**62
+    # stable digest — NOT hash(): PYTHONHASHSEED randomizes str hashes per
+    # process, which would make submission ids irreproducible across runs
+    import hashlib
+
+    digest = hashlib.md5(str(qid).encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "little") % 2**62
 
 
 class VQADataset(TaskDataset):
@@ -249,7 +277,7 @@ class ExpandDataset(TaskDataset):
             "co_attention_mask": np.zeros(
                 (self.max_region_num, self.max_seq_length), np.float32
             ),
-            "question_id": np.asarray(_qid(ann.question_id), np.int64),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
         }
 
 
@@ -310,7 +338,7 @@ class RetrievalDataset(TaskDataset):
             "co_attention_mask": np.zeros(
                 (4, self.max_region_num, self.max_seq_length), np.float32
             ),
-            "question_id": np.asarray(_qid(ann.question_id), np.int64),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
         }
 
 
@@ -350,34 +378,66 @@ class GroundingDataset(TaskDataset):
             "co_attention_mask": np.zeros(
                 (self.max_region_num, self.max_seq_length), np.float32
             ),
-            "question_id": np.asarray(_qid(ann.question_id), np.int64),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
         }
 
 
 class PointingDataset(GroundingDataset):
     """V-logit-mc pointing: Visual7w / GuessWhatPointing (reference
-    visual7w_pointing_dataset.py:232-303). Adds multiple-choice indices into
-    the region rows; target gathered at mc rows."""
+    visual7w_pointing_dataset.py:232-303, guesswhat_pointing_dataset.py:
+    247-306). Multiple-choice indices point into the GT rows appended behind
+    the detector block (rows 101+); the target is gathered at those rows,
+    matching the trainer's logit gather.
+
+    ``num_options`` fixes the mc width: 4 for Visual7w (3 distractors +
+    answer), 204 for GuessWhatPointing, padded with the last in-range row —
+    the reference pads with the literal 204 = max_region_num-101-1
+    (guesswhat_pointing_dataset.py:252-253), which lands on an all-zero
+    padded row so the extra options contribute 0 loss."""
 
     task_type = "V-logit-mc"
 
     #: option rows start after the 100 detector boxes + global row
-    #: (reference task_utils.py:353, visual7w_pointing_dataset.py:232-303)
+    #: (reference task_utils.py:353, visual7w_pointing_dataset.py:263-268)
     region_offset = 101
 
+    def __init__(self, *args, num_options: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_options = num_options
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        item = super().__getitem__(idx)
         ann = self.annotations[idx]
-        num_mc = 4 if ann.mc_idx is None else len(ann.mc_idx)
-        mc = np.zeros((num_mc,), np.int64)
+        # GT option boxes always merged (both splits), detector block pinned
+        # to rows [0, 101) so mc indices resolve identically to the reference
+        feats, spatials, img_mask, boxes, n = self._mixed_image_tensors(
+            ann.image_id, det_block=self.region_offset
+        )
+        q, q_mask, seg = self._encode_single(ann.text)
+        full = np.zeros((self.max_region_num, 1), np.float32)
+        if ann.ref_box is not None and n > 1:
+            overlaps = iou(boxes[:n], ann.ref_box[None])
+            full[:n, 0] = (overlaps[:, 0] >= 0.5).astype(np.float32)
+            full[0] = 0  # global row is never the answer
+        pad_row = self.max_region_num - self.region_offset - 1
+        mc = np.full((self.num_options,), pad_row, np.int64)
         if ann.mc_idx is not None:
-            mc[:] = ann.mc_idx
-        item["multiple_choice_ids"] = mc
-        # target gathered at the mc option rows (offset past the detector
-        # block), shape [num_mc, 1] — the trainer gathers logits the same way
-        full = item.pop("target")  # [R, 1] IoU>=0.5 indicators
-        item["target"] = full[self.region_offset :, 0][mc][:, None]
-        return item
+            k = min(len(ann.mc_idx), self.num_options)
+            mc[:k] = np.asarray(ann.mc_idx[:k], np.int64)
+        target = full[self.region_offset :, 0][mc][:, None]
+        return {
+            "features": feats,
+            "spatials": spatials,
+            "image_mask": img_mask,
+            "question": q,
+            "input_mask": q_mask,
+            "segment_ids": seg,
+            "target": target,
+            "multiple_choice_ids": mc,
+            "co_attention_mask": np.zeros(
+                (self.max_region_num, self.max_seq_length), np.float32
+            ),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
+        }
 
 
 class NLVR2Dataset(TaskDataset):
@@ -405,7 +465,7 @@ class NLVR2Dataset(TaskDataset):
             "co_attention_mask": np.zeros(
                 (2 * half, self.max_seq_length), np.float32
             ),
-            "question_id": np.asarray(_qid(ann.question_id), np.int64),
+            "question_id": np.asarray(self._qid_for(ann), np.int64),
         }
 
 
@@ -416,73 +476,103 @@ class DialogAnnotation:
     question_id: Any
     image_id: str
     caption: str
-    rounds: Sequence[Dict[str, Any]]  # {question, answer, options: [str]}
+    rounds: Sequence[Dict[str, Any]]  # {question, answer, gt_index, options}
 
 
 class VisDialDataset(TaskDataset):
-    """TASK3 Visual Dialog (reference visdial_dataset.py:176-297): per image,
-    ``num_rounds`` rounds × ``num_options`` candidates; each candidate is
-    encoded [CLS] question [SEP] answer(seg 1) [SEP] history+caption [SEP].
-    The ground-truth answer is always candidate 0 (targets are zeros)."""
+    """TASK3 Visual Dialog (reference visdial_dataset.py:176-297).
+
+    Per image, 10 rounds × ``num_options``(=4) candidates. Candidate 0 is the
+    round's GT answer ``options[gt_index]`` and the distractors are a random
+    permutation of the other option indices (reference
+    answer_candidate/:219-227 — it uses the global numpy RNG; here a seeded
+    per-dataset RNG so epochs are reproducible). Targets are therefore
+    zeros(10).
+
+    Each candidate is encoded to ``total_seq_length``(=50, reference
+    _total_seq_length) as
+      [CLS] q [SEP](seg0)  a [SEP](seg1)  fact [SEP](seg0)
+    where fact = (q_j [SEP] a_j) over the last ``max_history_rounds``(=3)
+    rounds joined by [SEP], then [SEP] + caption — truncated from the FRONT
+    to 50 - len(q) - len(a) - 4 (reference _truncate_seq pops index 0,
+    :160-174, :229-262)."""
 
     task_type = "VL-logit"
     process = "dialog"
 
     def __init__(self, annotations: Sequence[DialogAnnotation], *args,
-                 num_rounds: int = 10, num_options: int = 100,
-                 max_history_rounds: int = 10, seed: int = 0, **kwargs):
+                 num_rounds: int = 10, num_options: int = 4,
+                 max_history_rounds: int = 3, total_seq_length: int = 50,
+                 seed: int = 0, **kwargs):
         # bypass TaskDataset's Annotation typing; same plumbing otherwise
         super().__init__([], *args, **kwargs)
         self.dialogs = list(annotations)
         self.num_rounds = num_rounds
         self.num_options = num_options
         self.max_history_rounds = max_history_rounds
+        self.total_seq_length = total_seq_length
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.dialogs)
 
-    def _encode_round(self, question: str, answer: str, history: str):
+    def _encode_candidate(self, q_ids, a_ids, fact_ids):
         tok = self.tokenizer
-        q_ids = list(tok.encode(question))
-        a_ids = list(tok.encode(answer))
-        f_ids = list(tok.encode(history))
-        budget = self.max_seq_length - len(q_ids) - len(a_ids) - 4
-        f_ids = f_ids[: max(budget, 0)]
+        budget = self.total_seq_length - len(q_ids) - len(a_ids) - 4
+        f_ids = list(fact_ids)
+        while len(f_ids) > max(budget, 0):
+            f_ids.pop(0)  # reference truncates the fact FRONT (:160-174)
         ids = (
-            [tok.cls_token_id] + q_ids + [tok.sep_token_id]
-            + a_ids + [tok.sep_token_id] + f_ids + [tok.sep_token_id]
+            [tok.cls_token_id] + list(q_ids) + [tok.sep_token_id]
+            + list(a_ids) + [tok.sep_token_id] + f_ids + [tok.sep_token_id]
         )
         seg = (
             [0] * (len(q_ids) + 2) + [1] * (len(a_ids) + 1)
             + [0] * (len(f_ids) + 1)
         )
-        ids, mask, _ = _pad_text(ids, self.max_seq_length)
-        seg = (seg + [0] * self.max_seq_length)[: self.max_seq_length]
+        ids, mask, _ = _pad_text(ids, self.total_seq_length)
+        seg = (seg + [0] * self.total_seq_length)[: self.total_seq_length]
         return ids, mask, np.asarray(seg, np.int32)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         d = self.dialogs[idx]
+        tok = self.tokenizer
+        sep = tok.sep_token_id
         feats, spatials, img_mask, _ = self._image_tensors(d.image_id)
-        qs = np.zeros((self.num_rounds, self.num_options, self.max_seq_length),
-                      np.int32)
+        T = self.total_seq_length
+        qs = np.zeros((self.num_rounds, self.num_options, T), np.int32)
         masks = np.zeros_like(qs)
         segs = np.zeros_like(qs)
-        history_parts: List[str] = [d.caption]
+        cap_ids = list(tok.encode(d.caption))
+        enc_q = [list(tok.encode(r["question"])) for r in d.rounds]
+        enc_a = [list(tok.encode(r["answer"])) for r in d.rounds]
         for r in range(self.num_rounds):
             rnd = d.rounds[r % len(d.rounds)]
-            # history = previous rounds' q+a then the caption (reference
-            # builds facts + [SEP] + caption)
-            history = " ".join(history_parts[-(2 * self.max_history_rounds):])
-            options = [rnd["answer"]] + [
-                o for o in rnd["options"] if o != rnd["answer"]
-            ]
-            options = (options * self.num_options)[: self.num_options]
-            for i, opt in enumerate(options):
-                q, m, s = self._encode_round(rnd["question"], opt, history)
-                qs[r, i], masks[r, i], segs[r, i] = q, m, s
-            history_parts.append(rnd["question"])
-            history_parts.append(rnd["answer"])
+            # fact = last max_history_rounds (q [SEP] a) pairs, then caption
+            # (reference :199-216)
+            fact: List[int] = []
+            for j in range(r % len(d.rounds)):
+                if r % len(d.rounds) - self.max_history_rounds <= j:
+                    pair = enc_q[j] + [sep] + enc_a[j]
+                    fact = fact + [sep] + pair if fact else list(pair)
+            tokens_f = fact + [sep] + cap_ids if fact else cap_ids
+            # candidate 0 = GT option; distractors = random non-gt indices
+            gt = int(rnd.get("gt_index", 0))
+            options = rnd["options"]
+            cands = [gt]
+            for c in self.rng.permutation(len(options)):
+                if len(cands) >= self.num_options:
+                    break
+                if int(c) != gt:
+                    cands.append(int(c))
+            while len(cands) < self.num_options:  # tiny fixtures
+                cands.append(gt)
+            q_ids = enc_q[r % len(d.rounds)]
+            for i, ci in enumerate(cands):
+                a_ids = list(tok.encode(options[ci]))
+                qs[r, i], masks[r, i], segs[r, i] = self._encode_candidate(
+                    q_ids, a_ids, tokens_f
+                )
         return {
             "features": feats,
             "spatials": spatials,
@@ -492,7 +582,7 @@ class VisDialDataset(TaskDataset):
             "segment_ids": segs,
             "target": np.zeros((self.num_rounds,), np.int64),
             "co_attention_mask": np.zeros(
-                (self.max_region_num, self.max_seq_length), np.float32
+                (self.max_region_num, T), np.float32
             ),
             "question_id": np.asarray(_qid(d.question_id), np.int64),
         }
@@ -500,6 +590,27 @@ class VisDialDataset(TaskDataset):
 
 def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def pad_batch(
+    batch: Dict[str, np.ndarray], to_size: int
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Pad every leaf's batch dim to ``to_size`` by repeating the last sample.
+
+    Keeps eval shapes static (one XLA compile per task instead of one per
+    ragged final-batch size); callers slice metrics back to the returned
+    valid count. Repeating a real sample (instead of zeros) keeps the padded
+    forward numerically safe."""
+    n = int(next(iter(batch.values())).shape[0])
+    if n >= to_size:
+        return batch, n
+
+    def pad(x):
+        x = np.asarray(x)
+        reps = np.repeat(x[-1:], to_size - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return {k: pad(v) for k, v in batch.items()}, n
 
 
 class DataLoader:
