@@ -80,7 +80,8 @@ def main(argv=None) -> None:
 
     for key, task in selected.items():
         metrics, results = evaluate_task(
-            model, model_cfg, task, params, loaders[key]
+            model, model_cfg, task, params, loaders[key],
+            qid_map=getattr(loaders[key].dataset, "qid_map", None),
         )
         logging.info("%s: loss %.4f score %.4f (%d samples)",
                      key, metrics["loss"], metrics["score"],

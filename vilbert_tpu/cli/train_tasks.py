@@ -30,9 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--head_lr", type=float, default=1e-4,
                    help="lr for task heads (train_tasks.py:379-398)")
     p.add_argument("--warmup_proportion", type=float, default=0.1)
-    p.add_argument("--lr_scheduler", default="warmup_linear",
-                   choices=["warmup_linear", "warmup_constant", "constant"])
+    p.add_argument("--lr_scheduler", default="mannul",
+                   choices=["mannul", "automatic", "cosine", "cosine_warm",
+                            "warmup_linear", "warmup_constant", "constant"])
     p.add_argument("--optim", default="adamw", choices=["adamw", "radam"])
+    p.add_argument("--baseline", action="store_true",
+                   help="single-stream basebert model (train_tasks.py:232-237)")
+    p.add_argument("--resume_file", default="",
+                   help="orbax checkpoint dir to resume full training state")
     p.add_argument("--freeze", default="", help="param path prefix to freeze")
     p.add_argument("--train_iter_gap", type=int, default=4)
     p.add_argument("--task_specific_tokens", action="store_true")
@@ -40,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    # multi-host runtime (reference torch.distributed --local_rank/NCCL env,
+    # train_tasks.py:269-278). On TPU pod slices leave unset (auto-detect).
+    p.add_argument("--coordinator", default="",
+                   help="coordinator host:port for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
 
 
@@ -86,6 +97,15 @@ def main(argv=None) -> None:
 
     setup_tpu_defaults()
 
+    from vilbert_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=args.coordinator or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None,
+    )
+    import jax
+
     from vilbert_tpu.core.config import (
         ModelConfig, OptimizerConfig, TrainConfig, load_task_configs,
     )
@@ -108,7 +128,8 @@ def main(argv=None) -> None:
 
         tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
         loaders, val_loaders = load_datasets(
-            selected, tokenizer, seed=args.seed
+            selected, tokenizer, seed=args.seed,
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
         )
 
     opt_cfg = OptimizerConfig(
@@ -118,6 +139,13 @@ def main(argv=None) -> None:
         warmup_proportion=args.warmup_proportion,
         head_lr=args.head_lr,
     )
+    # data-parallel mesh over every device of every process; None keeps the
+    # single-chip fast path (no resharding overhead)
+    mesh = None
+    if jax.process_count() > 1 or len(jax.devices()) > 1:
+        from vilbert_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     trainer = MultiTaskTrainer(
         model_cfg, selected, loaders,
         opt_cfg=opt_cfg,
@@ -126,10 +154,17 @@ def main(argv=None) -> None:
                               checkpoint_dir=f"{args.output_dir}/ckpt"),
         val_loaders=val_loaders,
         seed=args.seed,
+        num_train_epochs=args.num_epochs,
+        model_family="basebert" if args.baseline else "vilbert",
+        from_pretrained=args.from_pretrained,
+        mesh=mesh,
     )
     trainer.attach_logger(f"{args.output_dir}/logs")
-    epochs = args.num_epochs or max(t.num_epoch for t in selected.values())
-    state = trainer.train(epochs)
+    if args.resume_file:
+        step = trainer.restore_checkpoint(directory=args.resume_file)
+        logging.info("resumed from %s at step %d (epoch %d)",
+                     args.resume_file, step, trainer.epoch)
+    state = trainer.train(args.num_epochs)
 
     from vilbert_tpu.core.checkpoint import save_params
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vilbert_tpu.core.config import ModelConfig, TaskConfig
-from vilbert_tpu.train.losses import task_loss_and_score
 from vilbert_tpu.train.multitask import (
     HEAD_FOR_TYPE,
     MC_REGION_OFFSET,
@@ -70,47 +69,72 @@ def evaluate_task(
     *,
     label2ans: Optional[List[str]] = None,
     max_batches: Optional[int] = None,
+    qid_map: Optional[Dict[int, Any]] = None,
 ) -> Tuple[Dict[str, float], List[Dict[str, Any]]]:
-    """Returns ({"loss", "score", "num_samples"}, submission records)."""
+    """Returns ({"loss", "score", "num_samples"}, submission records).
+
+    Ragged final batches are padded to the loader's batch size so the jitted
+    forward compiles once; metrics are sample-weighted over the valid rows
+    (reference per-sample accumulation, eval_tasks.py:276-301). ``qid_map``
+    (dataset.qid_map) restores original string question ids in the records.
+    """
+    from vilbert_tpu.data.tasks import pad_batch
+    from vilbert_tpu.train.losses import task_loss_and_score_per_sample
+
     forward = make_eval_forward(model, model_cfg, task)
     results: List[Dict[str, Any]] = []
+    qid_map = qid_map or {}
+
+    def qid_of(q) -> Any:
+        return qid_map.get(int(q), int(q))
+
     tot_loss = tot_score = 0.0
-    n_batches = n_samples = 0
+    n_rows = n_samples = 0
+    full_bs = getattr(loader, "batch_size", 0)
 
     for bi, batch in enumerate(loader):
         if max_batches and bi >= max_batches:
             break
         question_id = np.asarray(batch["question_id"])
-        model_batch = {k: v for k, v in batch.items() if k != "question_id"}
-        logits = np.asarray(forward(params, model_batch))
-        target = np.asarray(batch["target"]) if "target" in batch else None
         bsz = question_id.shape[0]
-        n_batches += 1
+        model_batch = {k: v for k, v in batch.items() if k != "question_id"}
+        if full_bs:
+            model_batch, _ = pad_batch(model_batch, full_bs)
+        logits = np.asarray(forward(params, model_batch))
+        rows_per_sample = max(logits.shape[0] // max(full_bs or bsz, 1), 1)
+        valid = bsz * rows_per_sample
+        logits = logits[:valid]
+        target = np.asarray(batch["target"]) if "target" in batch else None
         n_samples += bsz
 
         if target is not None and target.size:
-            t2 = batch["target"]
-            if task.type == "V-logit-mc":
-                t2 = np.asarray(t2)
-            loss, score = task_loss_and_score(task.type, jnp.asarray(logits), jnp.asarray(t2))
-            tot_loss += float(loss)
-            tot_score += float(score)
+            loss_v, score_v = task_loss_and_score_per_sample(
+                task.type, jnp.asarray(logits),
+                jnp.asarray(target.reshape((valid,) + target.shape[2:])
+                            if task.type == "VL-logit" and target.ndim > 1
+                            else target),
+            )
+            tot_loss += float(np.asarray(loss_v).sum())
+            tot_score += float(np.asarray(score_v).sum())
+            n_rows += valid
 
         if task.type == "VL-classifier":
             pred = logits.argmax(-1)
             for i in range(bsz):
                 ans = label2ans[pred[i]] if label2ans else int(pred[i])
-                results.append({"question_id": int(question_id[i]), "answer": ans})
+                results.append({"question_id": qid_of(question_id[i]),
+                                "answer": ans})
         elif task.type == "VL-classifier-GQA":
             pred = logits.argmax(-1)
             for i in range(bsz):
                 ans = label2ans[pred[i]] if label2ans else int(pred[i])
-                results.append({"questionId": str(int(question_id[i])), "prediction": ans})
+                results.append({"questionId": str(qid_of(question_id[i])),
+                                "prediction": ans})
         elif task.type == "VL-logit":
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
             for i in range(bsz):
                 results.append(
-                    {"question_id": int(question_id[i]),
+                    {"question_id": qid_of(question_id[i]),
                      "answer": [float(p) for p in probs[i]]}
                 )
         elif task.type == "V-logit":
@@ -119,19 +143,20 @@ def evaluate_task(
             sel_t = np.take_along_axis(tgt, sel[:, None], axis=1)[:, 0]
             for i in range(bsz):
                 results.append(
-                    {"id": int(question_id[i]), "target": int(sel[i]),
+                    {"id": qid_of(question_id[i]), "target": int(sel[i]),
                      "IOU": float(sel_t[i])}
                 )
         elif task.type == "V-logit-mc":
             pred = logits[:, :, 0].argmax(1)
             for i in range(bsz):
-                results.append({"id": int(question_id[i]), "target": int(pred[i])})
+                results.append({"id": qid_of(question_id[i]),
+                                "target": int(pred[i])})
         # binary/tri classifiers produce no submission records (reference
         # task_utils.py:849-857)
 
     metrics = {
-        "loss": tot_loss / max(n_batches, 1),
-        "score": tot_score / max(n_batches, 1),
+        "loss": tot_loss / max(n_rows, 1),
+        "score": tot_score / max(n_rows, 1),
         "num_samples": n_samples,
     }
     return metrics, results

@@ -203,6 +203,8 @@ class BaseBertForVLTasks(nn.Module):
         co_attention_mask=None,  # accepted for API parity; single stream has none
         task_ids=None,
         *,
+        heads=None,  # None = all 7 (reference always computes all,
+                     # basebert.py:946-961); a tuple compiles only those
         deterministic=True,
     ) -> BaseVLTaskOutput:
         if image_attention_mask is None:
@@ -213,32 +215,42 @@ class BaseBertForVLTasks(nn.Module):
         )
         t_len = input_txt.shape[1]
         seq_t, seq_v = out.sequence[:, :t_len], out.sequence[:, t_len:]
-        scores_t = self.predictions(seq_t, self.bert.word_embedding_table())
-        scores_v = self.image_decoder(self.image_transform(seq_v)).astype(jnp.float32)
-        seq_rel = self.seq_relationship(out.pooled).astype(jnp.float32)
-
-        h = jax.nn.relu(self.vil_prediction_1(out.pooled))
-        h = self.dropout(h, deterministic=deterministic)
-        vil_prediction = self.vil_prediction_2(h).astype(jnp.float32)
-        vil_logit = self.vil_logit_dense(out.pooled).astype(jnp.float32)
-        pad = ((1.0 - image_attention_mask.astype(jnp.float32)) * -10000.0)[
-            :, :, None
-        ]
-        vision_logit = (
-            self.vision_logit_dense(
-                self.dropout(seq_v, deterministic=deterministic)
+        want = (lambda h: heads is None or h in heads)
+        results = {}
+        if want("linguisic_prediction"):
+            results["linguisic_prediction"] = self.predictions(
+                seq_t, self.bert.word_embedding_table()
+            )
+        if want("vision_prediction"):
+            results["vision_prediction"] = self.image_decoder(
+                self.image_transform(seq_v)
             ).astype(jnp.float32)
-            + pad
-        )
-        linguisic_logit = self.linguisic_logit_dense(
-            self.dropout(seq_t, deterministic=deterministic)
-        ).astype(jnp.float32)
-        return BaseVLTaskOutput(
-            vil_prediction=vil_prediction,
-            vil_logit=vil_logit,
-            vil_binary_prediction=seq_rel,
-            vision_prediction=scores_v,
-            vision_logit=vision_logit,
-            linguisic_prediction=scores_t,
-            linguisic_logit=linguisic_logit,
-        )
+        if want("vil_binary_prediction"):
+            results["vil_binary_prediction"] = self.seq_relationship(
+                out.pooled
+            ).astype(jnp.float32)
+        if want("vil_prediction"):
+            h = jax.nn.relu(self.vil_prediction_1(out.pooled))
+            h = self.dropout(h, deterministic=deterministic)
+            results["vil_prediction"] = self.vil_prediction_2(h).astype(
+                jnp.float32
+            )
+        if want("vil_logit"):
+            results["vil_logit"] = self.vil_logit_dense(out.pooled).astype(
+                jnp.float32
+            )
+        if want("vision_logit"):
+            pad = ((1.0 - image_attention_mask.astype(jnp.float32)) * -10000.0)[
+                :, :, None
+            ]
+            results["vision_logit"] = (
+                self.vision_logit_dense(
+                    self.dropout(seq_v, deterministic=deterministic)
+                ).astype(jnp.float32)
+                + pad
+            )
+        if want("linguisic_logit"):
+            results["linguisic_logit"] = self.linguisic_logit_dense(
+                self.dropout(seq_t, deterministic=deterministic)
+            ).astype(jnp.float32)
+        return BaseVLTaskOutput(**results)

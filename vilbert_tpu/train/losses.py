@@ -230,3 +230,51 @@ def task_loss_and_score(
         score = jnp.mean((pred == target).astype(jnp.float32))
         return loss, score
     raise ValueError(f"unknown task type {task_type}")
+
+
+def task_loss_and_score_per_sample(
+    task_type: str, logits: jax.Array, target: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Unreduced variant of task_loss_and_score: ([B] loss, [B] score).
+
+    Means of these vectors reproduce the reduced values exactly; eval loops
+    use them for sample-weighted metrics over padded fixed-shape batches
+    (reference accumulates batch_score * batch_size, eval_tasks.py:276-301).
+    """
+    logits = logits.astype(jnp.float32)
+
+    def bce_elem(lg, t):
+        t = t.astype(jnp.float32)
+        return jnp.maximum(lg, 0) - lg * t + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+
+    if task_type in ("VL-classifier", "VL-classifier-GQA"):
+        # reduced loss = mean(bce) * C  ⇒ per-sample = mean_C(bce) * C
+        loss = bce_elem(logits, target).mean(axis=-1) * target.shape[1]
+        score = compute_score_with_logits_per_sample(logits, target)
+        return loss, score
+    if task_type == "VL-logit":
+        loss = _nll(logits, target)
+        score = (jnp.argmax(logits, axis=-1) == target).astype(jnp.float32)
+        return loss, score
+    if task_type in ("V-logit", "V-logit-mc"):
+        t = target.squeeze(-1) if target.ndim == 3 else target
+        lg = logits.squeeze(-1) if logits.ndim == 3 else logits
+        # reduced loss = mean(bce) * R ⇒ per-sample = mean_R(bce) * R
+        loss = bce_elem(lg, t).mean(axis=-1) * t.shape[1]
+        pred = jnp.argmax(lg, axis=-1)
+        gathered = jnp.take_along_axis(t, pred[:, None], axis=1)[:, 0]
+        score = (gathered > 0.5).astype(jnp.float32)
+        return loss, score
+    if task_type in ("VL-binary-classifier", "VL-tri-classifier"):
+        loss = _nll(logits, target)
+        score = (jnp.argmax(logits, axis=-1) == target).astype(jnp.float32)
+        return loss, score
+    raise ValueError(f"unknown task type {task_type}")
+
+
+def compute_score_with_logits_per_sample(
+    logits: jax.Array, targets: jax.Array
+) -> jax.Array:
+    """Per-sample soft-target mass at the argmax (task_utils.py:618-623)."""
+    pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(targets, pred[..., None], axis=-1)[..., 0]

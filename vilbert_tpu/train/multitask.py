@@ -98,6 +98,54 @@ def process_batch(process: str, batch: Dict[str, jax.Array]) -> Dict[str, jax.Ar
     raise ValueError(process)
 
 
+def _task_logits(
+    model: ViLBERTForVLTasks,
+    model_cfg: ModelConfig,
+    task: TaskConfig,
+    params,
+    batch,
+    rng,
+    *,
+    deterministic: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared forward + head reshape: returns (logits, target) for the task."""
+    head = HEAD_FOR_TYPE[task.type]
+    p = process_batch(task.process, batch)
+    model_batch = p["question"].shape[0]
+    task_ids = None
+    if model_cfg.task_specific_tokens:
+        task_ids = jnp.full((model_batch, 1), task.task_id, jnp.int32)
+    out = model.apply(
+        {"params": params},
+        p["question"],
+        p["features"],
+        p["spatials"],
+        p["segment_ids"],
+        p["input_mask"],
+        p["image_mask"],
+        p.get("co_attention_mask"),
+        task_ids,
+        heads=(head,),
+        deterministic=deterministic,
+        rngs={} if deterministic else {"dropout": rng},
+    )
+    logits = getattr(out, head)
+    target = p["target"]
+
+    if task.type == "VL-logit":
+        # rank options: [B*N, 1] -> [rows, N] where rows follows the
+        # (possibly flattened) target — B for expand/retrieval,
+        # B*rounds for dialog (task_utils.py:339-343, :199-246)
+        logits = logits.reshape(target.shape[0], -1)
+    elif task.type == "V-logit-mc":
+        # gather option rows past the detector block (task_utils.py:352-360)
+        mc = p["multiple_choice_ids"]
+        logits = jnp.take_along_axis(
+            logits[:, MC_REGION_OFFSET:, 0], mc, axis=1
+        )[..., None]
+    return logits, target
+
+
 def make_task_loss_fn(
     model: ViLBERTForVLTasks,
     model_cfg: ModelConfig,
@@ -106,48 +154,36 @@ def make_task_loss_fn(
     deterministic: bool = False,
 ) -> Callable:
     """loss_fn(params, batch, rng) computing this task's loss + batch score."""
-    head = HEAD_FOR_TYPE[task.type]
-    task_token_id = task.task_id
 
     def loss_fn(params, batch, rng):
-        orig_batch_size = batch["features"].shape[0]
-        p = process_batch(task.process, batch)
-        model_batch = p["question"].shape[0]
-        task_ids = None
-        if model_cfg.task_specific_tokens:
-            task_ids = jnp.full((model_batch, 1), task_token_id, jnp.int32)
-        out = model.apply(
-            {"params": params},
-            p["question"],
-            p["features"],
-            p["spatials"],
-            p["segment_ids"],
-            p["input_mask"],
-            p["image_mask"],
-            p.get("co_attention_mask"),
-            task_ids,
-            heads=(head,),
+        logits, target = _task_logits(
+            model, model_cfg, task, params, batch, rng,
             deterministic=deterministic,
-            rngs={} if deterministic else {"dropout": rng},
         )
-        logits = getattr(out, head)
-        target = p["target"]
-
-        if task.type == "VL-logit":
-            # rank options: [B*N, 1] -> [rows, N] where rows follows the
-            # (possibly flattened) target — B for expand/retrieval,
-            # B*rounds for dialog (task_utils.py:339-343, :199-246)
-            logits = logits.reshape(target.shape[0], -1)
-        elif task.type == "V-logit-mc":
-            # gather option rows past the detector block (task_utils.py:352-360)
-            mc = p["multiple_choice_ids"]
-            logits = jnp.take_along_axis(
-                logits[:, MC_REGION_OFFSET:, 0], mc, axis=1
-            )[..., None]
         loss, score = task_loss_and_score(task.type, logits, target)
         return loss, {"score": score}
 
     return loss_fn
+
+
+def make_task_eval_fn(
+    model: ViLBERTForVLTasks, model_cfg: ModelConfig, task: TaskConfig
+) -> Callable:
+    """Jitted eval fn(params, batch) -> ([rows] loss, [rows] score).
+
+    Per-sample vectors let the eval loop pad final batches to a fixed shape
+    (one XLA compile per task) and still compute exact sample-weighted
+    metrics (reference per-sample accumulation, eval_tasks.py:276-301)."""
+    from vilbert_tpu.train.losses import task_loss_and_score_per_sample
+
+    @jax.jit
+    def eval_fn(params, batch):
+        logits, target = _task_logits(
+            model, model_cfg, task, params, batch, None, deterministic=True
+        )
+        return task_loss_and_score_per_sample(task.type, logits, target)
+
+    return eval_fn
 
 
 @dataclass
@@ -158,11 +194,12 @@ class TaskRuntime:
     val_loader: Optional[Any]
     loss_scale: float
     step_fn: Callable
-    eval_loss_fn: Callable
+    eval_fn: Callable                # per-sample (loss[rows], score[rows])
     iterator: Iterator = None
     num_iters: int = 0
     prefetch_batches: int = 0
     batch_sharding: Any = None
+    batch_placer: Any = None         # multi-host global-batch assembly
 
     def next_batch(self):
         if self.iterator is None:
@@ -182,6 +219,7 @@ class TaskRuntime:
                     size=self.prefetch_batches,
                     sharding=self.batch_sharding,
                     transform=drop_qid,
+                    placer=self.batch_placer,
                 )
             else:
                 self.iterator = iter(self.loader)
@@ -208,9 +246,21 @@ class MultiTaskTrainer:
         init_params=None,
         seed: int = 0,
         mesh=None,
+        num_train_epochs: int = 0,
+        model_family: str = "vilbert",
+        from_pretrained: str = "",
     ):
         self.model_cfg = model_cfg
-        self.model = ViLBERTForVLTasks(model_cfg, num_labels=num_labels)
+        self.model_family = model_family
+        if model_family == "vilbert":
+            self.model = ViLBERTForVLTasks(model_cfg, num_labels=num_labels)
+        elif model_family in ("basebert", "baseline"):
+            # reference --baseline single-stream model (train_tasks.py:232-237)
+            from vilbert_tpu.models.basebert import BaseBertForVLTasks
+
+            self.model = BaseBertForVLTasks(model_cfg, num_labels=num_labels)
+        else:
+            raise ValueError(f"unknown model_family {model_family!r}")
         self.train_cfg = train_cfg or TrainConfig()
         val_loaders = val_loaders or {}
 
@@ -221,10 +271,18 @@ class MultiTaskTrainer:
             **{**(opt_cfg or OptimizerConfig()).__dict__, "learning_rate": base_lr}
         )
 
-        # median task length defines the iteration count per epoch
-        # (train_tasks.py:333-354)
-        lens = [len(l) for l in loaders.values()]
-        self.median_num_iter = int(np.median(lens)) if lens else 0
+        # iterations per epoch: the MAX of per-task
+        # num_epoch * len(loader) / num_train_epochs — the reference's
+        # (misnamed) median_num_iter = task_ave_iter_list[-1]
+        # (train_tasks.py:333-352)
+        self.num_train_epochs = num_train_epochs or max(
+            t.num_epoch for t in tasks.values()
+        )
+        ave_iters = [
+            int(t.num_epoch * len(loaders[k]) / self.num_train_epochs)
+            for k, t in tasks.items()
+        ]
+        self.median_num_iter = max(ave_iters) if ave_iters else 0
 
         self.rng = jax.random.PRNGKey(seed)
         first_key = next(iter(tasks))
@@ -243,14 +301,44 @@ class MultiTaskTrainer:
                 np.asarray(p["spatials"]).reshape(-1, *p["spatials"].shape[-2:]),
                 task_ids=task_ids,
             )["params"]
+        if from_pretrained:
+            # the flagship recipe: fine-tune from the CC-pretrained checkpoint
+            # (reference train_tasks.py:370-375 VILBertForVLTasks.from_pretrained)
+            from vilbert_tpu.core.checkpoint import (
+                load_params, load_pretrained_torch,
+            )
+
+            if from_pretrained.endswith(".npz"):
+                loaded = load_params(from_pretrained)
+                # .npz may be a pretraining artifact: keep task heads at init
+                from vilbert_tpu.core.importer import _flatten, _unflatten
+
+                flat = _flatten(init_params)
+                lflat = _flatten(loaded)
+                hits = {k: v for k, v in lflat.items()
+                        if k in flat and np.shape(v) == np.shape(flat[k])}
+                flat.update(hits)
+                init_params = _unflatten(flat)
+                logger.info("from_pretrained %s: %d/%d params loaded",
+                            from_pretrained, len(hits), len(flat))
+            else:
+                family = ("basebert" if model_family in ("basebert", "baseline")
+                          else "vilbert")
+                init_params, report = load_pretrained_torch(
+                    from_pretrained, init_params, family=family
+                )
+                logger.info(
+                    "from_pretrained %s: %d loaded, %d kept at init, "
+                    "%d unexpected", from_pretrained, len(report.loaded),
+                    len(report.missing), len(report.unexpected),
+                )
         self.params0 = init_params
 
         # schedule is a function of ITERATIONS: the LR advances once per
         # round-robin iteration while the optimizer steps once per task —
         # exact reference semantics (train_tasks.py:541-559) via the
         # external-lr step (SURVEY.md §7 hard part 2)
-        epochs = max(t.num_epoch for t in tasks.values())
-        total_iterations = self.median_num_iter * epochs or 1000
+        total_iterations = self.median_num_iter * self.num_train_epochs or 1000
         self.tx, self.schedule = build_optimizer(
             self.opt_cfg, init_params, total_iterations,
             freeze_prefix=self.train_cfg.freeze_prefix,
@@ -259,18 +347,22 @@ class MultiTaskTrainer:
         self.state = TrainState.create(init_params, self.tx)
         self.mesh = mesh
         self._batch_sharding = None
+        self._batch_placer = None
         if mesh is not None:
             from vilbert_tpu.parallel.mesh import batch_sharding, replicate_pytree
 
             self.state = TrainState(*replicate_pytree(tuple(self.state), mesh))
             self._batch_sharding = batch_sharding(mesh)
+            if jax.process_count() > 1:
+                # multi-host: loaders yield per-process shards; assemble the
+                # global batch (SURVEY.md §2.5)
+                from vilbert_tpu.parallel.distributed import make_global_batch_fn
+
+                self._batch_placer = make_global_batch_fn(mesh)
 
         self.tasks: Dict[str, TaskRuntime] = {}
         for key, tcfg in tasks.items():
             loss_fn = make_task_loss_fn(self.model, model_cfg, tcfg)
-            eval_loss_fn = make_task_loss_fn(
-                self.model, model_cfg, tcfg, deterministic=True
-            )
             self.tasks[key] = TaskRuntime(
                 key=key,
                 cfg=tcfg,
@@ -281,16 +373,18 @@ class MultiTaskTrainer:
                     loss_fn, self.tx, loss_scale=self.loss_scales[key],
                     external_lr=True,
                 ),
-                eval_loss_fn=jax.jit(eval_loss_fn),
+                eval_fn=make_task_eval_fn(self.model, model_cfg, tcfg),
                 num_iters=len(loaders[key]),
                 prefetch_batches=self.train_cfg.prefetch_batches,
                 batch_sharding=self._batch_sharding,
+                batch_placer=self._batch_placer,
             )
         self.controller = MultiTaskStopController(
             list(tasks), train_iter_gap=self.train_cfg.train_iter_gap
         )
         self.global_step = 0
         self.epoch = 0
+        self._last_val_scores: Dict[str, float] = {}
         self.metrics_history: List[Dict] = []
         self.metrics_logger = None  # optional MetricsLogger (attach_logger)
         self._ckpt = None
@@ -319,6 +413,8 @@ class MultiTaskTrainer:
             "global_step": self.global_step,
             "epoch": self.epoch,
         }
+        if hasattr(self.schedule, "state_dict"):
+            host["schedule"] = self.schedule.state_dict()
         if self.metrics_logger is not None:
             host["logger"] = self.metrics_logger.state_dict()
         self._ckpt_manager().save(
@@ -326,14 +422,27 @@ class MultiTaskTrainer:
             host_state=host,
         )
 
-    def restore_checkpoint(self, step: Optional[int] = None) -> int:
-        """Resume model/opt/controller/logger state (train_tasks.py:463-481)."""
-        state, host, step = self._ckpt_manager().restore(self.state, step=step)
+    def restore_checkpoint(
+        self, step: Optional[int] = None, directory: Optional[str] = None
+    ) -> int:
+        """Resume model/opt/controller/logger state (train_tasks.py:463-481).
+
+        ``directory`` overrides the configured checkpoint dir — the
+        ``--resume_file`` CLI path."""
+        if directory:
+            from vilbert_tpu.core.checkpoint import CheckpointManager
+
+            mngr = CheckpointManager(directory)
+        else:
+            mngr = self._ckpt_manager()
+        state, host, step = mngr.restore(self.state, step=step)
         self.state = state
         if host:
             self.controller.load_state_dict(host.get("controllers", {}))
             self.global_step = host.get("global_step", 0)
             self.epoch = host.get("epoch", 0)
+            if "schedule" in host and hasattr(self.schedule, "load_state_dict"):
+                self.schedule.load_state_dict(host["schedule"])
             if self.metrics_logger is not None and "logger" in host:
                 self.metrics_logger.load_state_dict(host["logger"])
         return step
@@ -352,7 +461,9 @@ class MultiTaskTrainer:
                 continue
             batch = task.next_batch()
             batch = {k: v for k, v in batch.items() if k != "question_id"}
-            if self._batch_sharding is not None:
+            if self._batch_placer is not None:
+                batch = self._batch_placer(batch)
+            elif self._batch_sharding is not None:
                 batch = jax.tree.map(
                     lambda x: jax.device_put(x, self._batch_sharding), batch
                 )
@@ -370,21 +481,49 @@ class MultiTaskTrainer:
 
     def evaluate(self, key: str, max_batches: Optional[int] = None) -> Dict[str, float]:
         """Full val pass for one task; feeds the stop controller
-        (train_tasks.py:639-668)."""
+        (train_tasks.py:639-668).
+
+        Final ragged batches are padded to the loader's batch size (one
+        compile per task) and metrics are exact sample-weighted means over
+        the valid rows."""
+        from vilbert_tpu.data.tasks import pad_batch
+
         task = self.tasks[key]
         assert task.val_loader is not None, f"no val loader for {key}"
-        tot_loss = tot_score = n = 0.0
+        full_bs = getattr(task.val_loader, "batch_size", 0)
+        tot_loss = tot_score = 0.0
+        n_rows = 0
         for i, batch in enumerate(task.val_loader):
             if max_batches and i >= max_batches:
                 break
             batch = {k: v for k, v in batch.items() if k != "question_id"}
-            loss, metrics = task.eval_loss_fn(
-                self.state.params, batch, jax.random.PRNGKey(0)
+            bsz = int(batch["features"].shape[0])
+            if full_bs:
+                batch, _ = pad_batch(batch, full_bs)
+            loss_v, score_v = task.eval_fn(self.state.params, batch)
+            loss_v = np.asarray(loss_v)
+            score_v = np.asarray(score_v)
+            # rows per sample > 1 for dialog (target flattened to B*rounds)
+            rows_per_sample = loss_v.shape[0] // max(full_bs or bsz, 1)
+            valid = bsz * max(rows_per_sample, 1)
+            tot_loss += float(loss_v[:valid].sum())
+            tot_score += float(score_v[:valid].sum())
+            n_rows += valid
+        if jax.process_count() > 1:
+            # sum the per-host shard sums so every process sees the SAME
+            # score — the stop controllers must stay in lockstep across
+            # hosts or the round-robin jit schedules diverge (and hang)
+            from jax.experimental import multihost_utils
+
+            sums = multihost_utils.process_allgather(
+                np.asarray([tot_loss, tot_score, float(n_rows)])
             )
-            tot_loss += float(loss)
-            tot_score += float(metrics["score"])
-            n += 1
-        result = {"loss": tot_loss / max(n, 1), "score": tot_score / max(n, 1)}
+            tot_loss, tot_score, n_rows = np.asarray(sums).sum(axis=0)
+        result = {
+            "loss": tot_loss / max(n_rows, 1),
+            "score": tot_score / max(n_rows, 1),
+        }
+        self._last_val_scores[key] = result["score"]
         self.controller.step(key, result["score"])
         if self.metrics_logger is not None:
             self.metrics_logger.step_val(
@@ -394,13 +533,14 @@ class MultiTaskTrainer:
 
     def train(
         self,
-        num_epochs: int,
+        num_epochs: int = 0,
         *,
         eval_every_epoch: bool = True,
         lr_drop_epochs: Tuple[int, ...] = (5, 7),
         log_every: int = 20,
         hooks: Optional[list] = None,
     ):
+        num_epochs = num_epochs or self.num_train_epochs
         for epoch in range(self.epoch, num_epochs):
             self.epoch = epoch
             t0 = time.perf_counter()
@@ -430,6 +570,15 @@ class MultiTaskTrainer:
                             epoch, key, r["loss"], r["score"],
                             self.controller.controllers[key].in_stop,
                         )
+            # epoch-level LR scheduler transition (mannul ×0.2 at {5,7},
+            # automatic ReduceLROnPlateau on summed val scores,
+            # train_tasks.py:595-605)
+            if hasattr(self.schedule, "on_epoch_end"):
+                self.schedule.on_epoch_end(
+                    epoch,
+                    sum(self._last_val_scores.values())
+                    if self._last_val_scores else None,
+                )
             if epoch in lr_drop_epochs:
                 # reference resets all stop controllers on LR-drop epochs
                 # (train_tasks.py:607-610)
