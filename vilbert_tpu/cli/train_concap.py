@@ -39,9 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained_lr_scale", type=float, default=1.0,
                    help="lr multiplier for loaded BERT params (reference 0.1)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--shard_id", type=int, default=0)
-    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--shard_id", type=int, default=-1,
+                   help="-1 = this process's index (multi-host) or 0")
+    p.add_argument("--num_shards", type=int, default=0,
+                   help="0 = process count (multi-host) or 1")
+    # multi-host runtime (reference torch.distributed --local_rank/NCCL env,
+    # train_tasks.py:269-278). On TPU pod slices leave unset (auto-detect).
+    p.add_argument("--coordinator", default="",
+                   help="coordinator host:port for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help=">1: thread-pool host batch building (deterministic)")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
     p.add_argument("--checkpoint_every", type=int, default=0)
     return p
@@ -54,6 +64,20 @@ def main(argv=None) -> None:
     from vilbert_tpu.utils.cache import setup_tpu_defaults
 
     setup_tpu_defaults()
+
+    from vilbert_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=args.coordinator or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None,
+    )
+    import jax
+
+    if args.num_shards <= 0:
+        args.num_shards = jax.process_count()
+    if args.shard_id < 0:
+        args.shard_id = jax.process_index()
 
     from vilbert_tpu.core.config import ModelConfig, OptimizerConfig
     from vilbert_tpu.data.concap import (
@@ -95,6 +119,7 @@ def main(argv=None) -> None:
             visual_target=args.visual_target, objective=args.objective,
         ),
         seed=args.seed, shard_id=args.shard_id, num_shards=args.num_shards,
+        num_workers=args.num_workers,
     )
 
     steps_per_epoch = max(dataset_size // args.batch_size, 1)

@@ -22,6 +22,7 @@ def device_prefetch(
     size: int = 2,
     sharding: Optional[Any] = None,
     transform: Optional[Callable[[Any], Any]] = None,
+    placer: Optional[Callable[[Any], Any]] = None,
 ) -> Iterator[Any]:
     """Yield batches already placed on device, ``size`` batches ahead.
 
@@ -30,6 +31,10 @@ def device_prefetch(
       sharding: optional jax.sharding.Sharding applied to every leaf
         (e.g. ``batch_sharding(mesh)`` for data parallelism).
       transform: optional host-side transform applied before device_put.
+      placer: optional custom host->device placement for the whole batch
+        pytree (overrides ``sharding``) — e.g.
+        ``parallel.distributed.make_global_batch_fn(mesh)`` on multi-host,
+        where each process holds only its shard.
     """
     q: "queue.Queue[Any]" = queue.Queue(maxsize=size)
     sentinel = object()
@@ -38,6 +43,8 @@ def device_prefetch(
     def put(batch):
         if transform is not None:
             batch = transform(batch)
+        if placer is not None:
+            return placer(batch)
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)

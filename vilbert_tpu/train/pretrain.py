@@ -126,11 +126,46 @@ def run_pretraining(
     loss_fn = make_pretrain_loss_fn(model, model_cfg, img_weight=img_weight)
     step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum)
 
-    sharding = batch_sharding(mesh)
     import itertools
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def host_transform(b):
+        b = {k: v for k, v in b.items() if k != "image_id"}
+        if grad_accum > 1:
+            # loader batches are [B, ...]; the grad-accum scan consumes
+            # [grad_accum, B//grad_accum, ...] microbatches
+            def split(x):
+                assert x.shape[0] % grad_accum == 0, (
+                    f"batch size {x.shape[0]} not divisible by "
+                    f"grad_accum {grad_accum}"
+                )
+                return x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+                )
+
+            b = jax.tree.map(split, b)
+        return b
+
+    # with grad_accum the data axis shards the microbatch dim (axis 1),
+    # not the scan dim
+    placer = None
+    if jax.process_count() > 1:
+        # multi-host: this process holds only its batch shard; assemble the
+        # global array (SURVEY.md §2.5; reference per-rank shards,
+        # train_concap.py:290-294)
+        from vilbert_tpu.parallel.distributed import make_global_batch_fn
+
+        assert grad_accum == 1, "grad_accum on multi-host: reshape per host"
+        placer = make_global_batch_fn(mesh)
+        sharding = None
+    elif grad_accum > 1:
+        sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+    else:
+        sharding = batch_sharding(mesh)
     stream = device_prefetch(
-        itertools.chain([first], batches), sharding=sharding, size=2
+        itertools.chain([first], batches), sharding=sharding, size=2,
+        transform=host_transform, placer=placer,
     )
     t0 = time.perf_counter()
     for step in range(num_steps):
