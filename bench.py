@@ -80,6 +80,128 @@ def bench_vqa_eval() -> None:
     }))
 
 
+def _bench_model_cfg():
+    from vilbert_tpu.core.config import ModelConfig
+
+    return ModelConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, v_feature_size=2048, v_target_size=1601,
+        v_hidden_size=1024, v_num_hidden_layers=6, v_num_attention_heads=8,
+        v_intermediate_size=1024, bi_hidden_size=1024, bi_num_attention_heads=8,
+        v_biattention_id=(0, 1, 2, 3, 4, 5), t_biattention_id=(6, 7, 8, 9, 10, 11),
+        compute_dtype="bfloat16",
+    )
+
+
+def _e2e_artifacts(num_images: int = 512, vocab_words: int = 2000):
+    """Build (once, cached in /tmp) a real VFR store + WordPiece vocab at CC
+    shapes: 36 boxes × 2048-d features + 1601-d soft targets per image."""
+    import os
+
+    from vilbert_tpu.data.feature_store import (
+        RegionFeatures, VrfFeatureStore, VrfWriter,
+    )
+
+    vfr = f"/tmp/bench_cc_{num_images}.vfr"
+    vocab = "/tmp/bench_vocab.txt"
+    if not os.path.exists(vocab):
+        words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+            f"word{i}" for i in range(vocab_words)
+        ]
+        with open(vocab, "w") as f:
+            f.write("\n".join(words) + "\n")
+    if not os.path.exists(vfr):
+        rng = np.random.RandomState(0)
+        with VrfWriter(vfr) as w:
+            for i in range(num_images):
+                n, wpx, hpx = 36, 640, 480
+                x1 = rng.uniform(0, wpx / 2, n)
+                y1 = rng.uniform(0, hpx / 2, n)
+                boxes = np.stack(
+                    [x1, y1, x1 + rng.uniform(32, wpx / 2, n),
+                     y1 + rng.uniform(32, hpx / 2, n)], 1,
+                ).astype(np.float32)
+                target = rng.rand(n, 1601).astype(np.float32)
+                target /= target.sum(-1, keepdims=True)
+                w.add(str(i), RegionFeatures(
+                    features=rng.randn(n, 2048).astype(np.float32),
+                    boxes=boxes, image_h=hpx, image_w=wpx, target=target,
+                ))
+    rng = np.random.RandomState(1)
+    captions = {
+        str(i): " ".join(
+            f"word{rng.randint(vocab_words)}"
+            for _ in range(int(rng.randint(6, 18)))
+        )
+        for i in range(num_images)
+    }
+    return VrfFeatureStore(vfr), captions, vocab
+
+
+def bench_e2e(num_workers: int = 0) -> None:
+    """End-to-end CC pretraining: VFR store → WordPiece tokenizer → masking →
+    device prefetch → train step (the host path bench's headline number
+    skips). Run: python bench.py --e2e [--workers N]."""
+    import jax
+
+    from vilbert_tpu.core.config import OptimizerConfig
+    from vilbert_tpu.data.concap import ConceptCapLoader, ConceptCapSampleConfig
+    from vilbert_tpu.data.prefetch import device_prefetch, repeat_iterator
+    from vilbert_tpu.data.tokenization import WordPieceTokenizer
+    from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+    from vilbert_tpu.parallel.train_step import TrainState, make_train_step
+    from vilbert_tpu.train.optim import build_optimizer
+    from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+    from vilbert_tpu.utils.cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+    cfg = _bench_model_cfg()
+    store, captions, vocab = _e2e_artifacts()
+    loader = ConceptCapLoader(
+        store, captions, WordPieceTokenizer(vocab), batch_size=BATCH,
+        cfg=ConceptCapSampleConfig(), seed=0, num_workers=num_workers,
+    )
+
+    model = ViLBERTForPretraining(cfg)
+    stream = device_prefetch(
+        repeat_iterator(lambda: iter(loader)), size=3,
+        transform=lambda b: {k: v for k, v in b.items() if k != "image_id"},
+    )
+    first = next(stream)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), first["input_ids"], first["image_feat"],
+        first["image_loc"],
+    )["params"]
+    tx, _ = build_optimizer(
+        OptimizerConfig(learning_rate=1e-4, schedule="constant"), params, 1000
+    )
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(make_pretrain_loss_fn(model, cfg), tx)
+
+    key = jax.random.PRNGKey(0)
+    batch = first
+    for _ in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        batch = next(stream)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        batch = next(stream)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+    rate = BATCH * MEASURE_STEPS / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "cc_pretrain_e2e_samples_per_sec_per_chip",
+        "value": round(rate, 2), "unit": "samples/s/chip",
+        "vs_baseline": round(rate / REFERENCE_SAMPLES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -173,5 +295,10 @@ if __name__ == "__main__":
 
     if "--eval" in sys.argv:
         bench_vqa_eval()
+    elif "--e2e" in sys.argv:
+        workers = 0
+        if "--workers" in sys.argv:
+            workers = int(sys.argv[sys.argv.index("--workers") + 1])
+        bench_e2e(num_workers=workers)
     else:
         main()

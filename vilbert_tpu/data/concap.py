@@ -50,10 +50,24 @@ class ConceptCapPreprocessor:
         tokenizer: Tokenizer,
         captions: Sequence[str],
         cfg: ConceptCapSampleConfig = ConceptCapSampleConfig(),
+        token_cache_size: int = 1 << 22,
     ):
         self.tokenizer = tokenizer
         self.captions = list(captions)
         self.cfg = cfg
+        # caption string -> token ids; captions repeat every epoch (and the
+        # negative-sampling pool is reused constantly) — the reference
+        # re-tokenizes every time (concept_cap_dataset.py:538-550)
+        self._token_cache: dict = {}
+        self._token_cache_size = token_cache_size
+
+    def encode_cached(self, caption: str):
+        ids = self._token_cache.get(caption)
+        if ids is None:
+            ids = tuple(self.tokenizer.encode(caption))
+            if len(self._token_cache) < self._token_cache_size:
+                self._token_cache[caption] = ids
+        return ids
 
     # -- steps --------------------------------------------------------------
 
@@ -169,7 +183,7 @@ class ConceptCapPreprocessor:
         overlaps = iou(rf.boxes[:n], rf.boxes[:n])
 
         caption, is_next = self.random_cap(caption, rng)
-        ids = list(self.tokenizer.encode(caption))[: cfg.seq_len - 2]
+        ids = list(self.encode_cached(caption))[: cfg.seq_len - 2]
         ids, token_labels = self.random_word(ids, rng)
         _, image_label, masked_label = self.random_region(feat, n, overlaps, rng)
 
@@ -273,6 +287,7 @@ class ConceptCapLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         drop_last: bool = True,
+        num_workers: int = 0,
     ):
         self.store = store
         self.captions = captions
@@ -286,35 +301,72 @@ class ConceptCapLoader:
         self.keys = keys[shard_id::num_shards]
         self.drop_last = drop_last
         self.epoch = 0
+        #: >1 enables the thread-pool batch builder (the reference used a
+        #: 25-process PrefetchDataZMQ fleet, concept_cap_dataset.py:233);
+        #: samples are seeded by (seed, epoch, key index) so the parallel
+        #: stream is bit-identical to the serial one
+        self.num_workers = num_workers
 
     def __len__(self) -> int:
         if self.drop_last:
             return len(self.keys) // self.batch_size
         return (len(self.keys) + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _epoch_slices(self, epoch: int) -> List[np.ndarray]:
         order = np.arange(len(self.keys))
-        epoch_rng = np.random.default_rng((self.seed, self.epoch))
         if self.shuffle:
-            epoch_rng.shuffle(order)
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        B = self.batch_size
+        n_full = len(order) // B
+        slices = [order[i * B : (i + 1) * B] for i in range(n_full)]
+        if not self.drop_last and len(order) % B:
+            slices.append(order[n_full * B :])
+        return slices
+
+    def _build_batch(self, idx_slice: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
         # samples are written straight into preallocated batch buffers —
         # no per-sample arrays, no stack/concat pass (the profile showed
         # those dominating the 1-core pipeline)
-        out = self.preprocessor.alloc_batch(self.batch_size)
-        row = 0
-        for idx in order:
+        out = self.preprocessor.alloc_batch(len(idx_slice))
+        for row, idx in enumerate(idx_slice):
             key = self.keys[idx]
-            rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+            rng = np.random.default_rng((self.seed, epoch, int(idx)))
             self.preprocessor.fill(
                 out, row, self.store.get(key), self.captions[key], rng,
                 image_id=key,
             )
-            row += 1
-            if row == self.batch_size:
-                yield finalize_batch(out)
-                out = self.preprocessor.alloc_batch(self.batch_size)
-                row = 0
-        if row and not self.drop_last:
-            partial = {k: v[:row] for k, v in out.items()}
-            yield finalize_batch(partial)
-        self.epoch += 1
+        return finalize_batch(out)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # epoch advances at iteration START (a partially-consumed epoch
+        # still counts — generator exhaustion is not guaranteed, e.g. zip)
+        epoch, self.epoch = self.epoch, self.epoch + 1
+        slices = self._epoch_slices(epoch)
+        if self.num_workers > 1:
+            yield from self._iter_parallel(slices, epoch)
+        else:
+            for s in slices:
+                yield self._build_batch(s, epoch)
+
+    def _iter_parallel(self, slices, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Thread-pool batch building, yielded strictly in order.
+
+        Threads (not processes): the tokenizer (Rust) and the numpy kernels
+        release the GIL, and the feature store is mmap'd — on multi-core
+        hosts the builders overlap; determinism is preserved because every
+        sample's RNG is derived from its key index, not its arrival order."""
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            it = iter(slices)
+            pending: deque = deque()
+            for s in itertools.islice(it, self.num_workers + 2):
+                pending.append(ex.submit(self._build_batch, s, epoch))
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(ex.submit(self._build_batch, nxt, epoch))
+                yield batch
