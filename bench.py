@@ -202,7 +202,8 @@ def bench_e2e(num_workers: int = 0) -> None:
     }))
 
 
-def main() -> None:
+def main(config_json: str = "", batch: int = 0, remat: bool = False,
+         metric_suffix: str = "") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -215,14 +216,19 @@ def main() -> None:
     from vilbert_tpu.train.optim import build_optimizer
     from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
 
-    cfg = ModelConfig(
-        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-        intermediate_size=3072, v_feature_size=2048, v_target_size=1601,
-        v_hidden_size=1024, v_num_hidden_layers=6, v_num_attention_heads=8,
-        v_intermediate_size=1024, bi_hidden_size=1024, bi_num_attention_heads=8,
-        v_biattention_id=(0, 1, 2, 3, 4, 5), t_biattention_id=(6, 7, 8, 9, 10, 11),
-        compute_dtype="bfloat16",
-    )
+    global BATCH
+    if batch:
+        BATCH = batch
+    if config_json:
+        cfg = ModelConfig.from_json_file(
+            config_json, compute_dtype="bfloat16", remat=remat
+        )
+    else:
+        cfg = _bench_model_cfg()
+        if remat:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, remat=True)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -279,7 +285,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cc_pretrain_samples_per_sec_per_chip",
+                "metric": "cc_pretrain_samples_per_sec_per_chip" + metric_suffix,
                 "value": round(samples_per_sec_per_chip, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(
@@ -293,12 +299,17 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
+    def _arg(flag, default=0):
+        return (int(sys.argv[sys.argv.index(flag) + 1])
+                if flag in sys.argv else default)
+
     if "--eval" in sys.argv:
         bench_vqa_eval()
     elif "--e2e" in sys.argv:
-        workers = 0
-        if "--workers" in sys.argv:
-            workers = int(sys.argv[sys.argv.index("--workers") + 1])
-        bench_e2e(num_workers=workers)
+        bench_e2e(num_workers=_arg("--workers"))
+    elif "--large" in sys.argv:
+        main(config_json="configs/bert_large_6layer_6conect.json",
+             batch=_arg("--batch", 128), remat="--remat" in sys.argv,
+             metric_suffix="_large")
     else:
-        main()
+        main(batch=_arg("--batch"), remat="--remat" in sys.argv)

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_processes", type=int, default=0)
     p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each encoder block (large models)")
     p.add_argument("--num_workers", type=int, default=0,
                    help=">1: thread-pool host batch building (deterministic)")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
@@ -96,6 +98,7 @@ def main(argv=None) -> None:
         objective=args.objective,
         visual_target=args.visual_target,
         use_pallas_attention=args.use_pallas,
+        remat=args.remat,
     )
     tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
 

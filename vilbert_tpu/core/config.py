@@ -82,6 +82,7 @@ class ModelConfig:
     use_pallas_attention: bool = False
     use_pallas_layernorm: bool = False
     use_fast_dropout: bool = True  # counter-hash dropout (ops/dropout.py)
+    fused_qkv: bool = True  # one [D,3H] projection GEMM per attention
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):

@@ -51,12 +51,33 @@ class BiAttention(nn.Module):
         cfg = self.config
         bi = cfg.bi_hidden_size
 
-        q1 = _dense(cfg, bi, "query1")(input_v)
-        k1 = _dense(cfg, bi, "key1")(input_v)
-        v1 = _dense(cfg, bi, "value1")(input_v)
-        q2 = _dense(cfg, bi, "query2")(input_t)
-        k2 = _dense(cfg, bi, "key2")(input_t)
-        v2 = _dense(cfg, bi, "value2")(input_t)
+        if cfg.fused_qkv:
+            # one [D,3*bi] GEMM per stream (param tree unchanged — see
+            # layers.SelfAttention)
+            from vilbert_tpu.models.layers import ProjParams
+
+            init = nn.initializers.normal(stddev=cfg.initializer_range)
+            pdtype = jnp.dtype(cfg.param_dtype)
+            cdtype = jnp.dtype(cfg.compute_dtype)
+
+            def fused(x, names):
+                pairs = [
+                    ProjParams(x.shape[-1], bi, init, pdtype, name=nm)()
+                    for nm in names
+                ]
+                w = jnp.concatenate([p[0] for p in pairs], axis=1).astype(cdtype)
+                b = jnp.concatenate([p[1] for p in pairs]).astype(cdtype)
+                return jnp.split(x.astype(cdtype) @ w + b, 3, axis=-1)
+
+            q1, k1, v1 = fused(input_v, ("query1", "key1", "value1"))
+            q2, k2, v2 = fused(input_t, ("query2", "key2", "value2"))
+        else:
+            q1 = _dense(cfg, bi, "query1")(input_v)
+            k1 = _dense(cfg, bi, "key1")(input_v)
+            v1 = _dense(cfg, bi, "value1")(input_v)
+            q2 = _dense(cfg, bi, "query2")(input_t)
+            k2 = _dense(cfg, bi, "key2")(input_t)
+            v2 = _dense(cfg, bi, "value2")(input_t)
 
         impl = "pallas" if cfg.use_pallas_attention else "xla"
 

@@ -88,12 +88,41 @@ def _dropout(cfg: ModelConfig, rate: float, name: Optional[str] = None):
     return nn.Dropout(rate, name=name)
 
 
+class ProjParams(nn.Module):
+    """Declares a Dense-compatible (kernel, bias) pair without computing.
+
+    Lets SelfAttention keep the torch-mirroring param tree
+    (attention_self.{query,key,value}.{kernel,bias}) while the projections
+    execute as ONE fused matmul."""
+
+    in_dim: int
+    out_dim: int
+    kernel_init: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_dim, self.out_dim),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     """Q/K/V projection + attention core. Serves both streams.
 
     hidden size / head count are passed explicitly so the same module covers
     the text stream (hidden_size, num_attention_heads) and the image stream
     (v_hidden_size, v_num_attention_heads).
+
+    The three projections run as one [D, 3H] matmul (MXU prefers one wide
+    GEMM over three square ones, and the backward dW becomes a single
+    reduction); the params stay three separate (kernel, bias) pairs so
+    checkpoint import/export is unchanged.
     """
 
     config: ModelConfig
@@ -113,9 +142,23 @@ class SelfAttention(nn.Module):
         txt_mask2: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
-        q = _dense(cfg, self.hidden_size, "query")(hidden_states)
-        k = _dense(cfg, self.hidden_size, "key")(hidden_states)
-        v = _dense(cfg, self.hidden_size, "value")(hidden_states)
+        if cfg.fused_qkv:
+            init = nn.initializers.normal(stddev=cfg.initializer_range)
+            pdtype = jnp.dtype(cfg.param_dtype)
+            in_dim = hidden_states.shape[-1]
+            pairs = [
+                ProjParams(in_dim, self.hidden_size, init, pdtype, name=nm)()
+                for nm in ("query", "key", "value")
+            ]
+            cdtype = jnp.dtype(cfg.compute_dtype)
+            w = jnp.concatenate([p[0] for p in pairs], axis=1).astype(cdtype)
+            b = jnp.concatenate([p[1] for p in pairs]).astype(cdtype)
+            qkv = hidden_states.astype(cdtype) @ w + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = _dense(cfg, self.hidden_size, "query")(hidden_states)
+            k = _dense(cfg, self.hidden_size, "key")(hidden_states)
+            v = _dense(cfg, self.hidden_size, "value")(hidden_states)
 
         if self.dynamic:
             # Dynamic attention (vilbert/vilbert.py:577-586): gate Q/K with
