@@ -23,13 +23,30 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     return mod
 
 
+def _stub_if_missing(name: str, **attrs) -> types.ModuleType:
+    """Stub ONLY when the real module is absent — replacing an installed
+    package (e.g. requests) with a bare ModuleType breaks every later
+    `from pkg.sub import x` in the process (huggingface_hub does exactly
+    that), which poisoned unrelated tests in full-suite runs."""
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return _stub(name, **attrs)
+
+
 def load_reference_vilbert():
     """Returns the reference `vilbert.vilbert` torch module."""
-    _stub("boto3", client=lambda *a, **k: None, resource=lambda *a, **k: None)
-    botocore = _stub("botocore")
-    exceptions = _stub("botocore.exceptions", ClientError=Exception)
-    botocore.exceptions = exceptions
-    _stub("requests", get=None, head=None)
+    _stub_if_missing("boto3", client=lambda *a, **k: None,
+                     resource=lambda *a, **k: None)
+    try:
+        import botocore.exceptions  # noqa: F401
+    except ImportError:
+        botocore = _stub("botocore")
+        exceptions = _stub("botocore.exceptions", ClientError=Exception)
+        botocore.exceptions = exceptions
+    _stub_if_missing("requests", get=None, head=None)
 
     class _FakeTqdm:
         def __init__(self, *a, **k):
@@ -41,7 +58,7 @@ def load_reference_vilbert():
         def close(self):
             pass
 
-    _stub("tqdm", tqdm=_FakeTqdm)
+    _stub_if_missing("tqdm", tqdm=_FakeTqdm)
 
     class _FakeSummaryWriter:
         def __init__(self, *a, **k):
@@ -50,8 +67,8 @@ def load_reference_vilbert():
         def add_scalar(self, *a, **k):
             pass
 
-    _stub("tensorboardX", SummaryWriter=_FakeSummaryWriter)
-    _stub("torch._six", inf=math.inf)
+    _stub_if_missing("tensorboardX", SummaryWriter=_FakeSummaryWriter)
+    _stub_if_missing("torch._six", inf=math.inf)
 
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)

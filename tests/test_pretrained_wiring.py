@@ -121,6 +121,31 @@ def test_baseline_family_trains():
         assert np.isfinite(float(m["loss"])), k
 
 
+def test_gradient_accumulation():
+    # one iteration scans ga divided batches and steps once; the iteration
+    # count shrinks by ga so optimization steps match the reference's
+    # median*epochs//ga (train_tasks.py:352-354)
+    from vilbert_tpu.core.config import TrainConfig
+
+    tasks, loaders = make_world()
+    base = MultiTaskTrainer(
+        tiny_cfg(), tasks, loaders,
+        opt_cfg=OptimizerConfig(learning_rate=1e-4), num_labels=13,
+        num_train_epochs=2,
+    )
+    tr = MultiTaskTrainer(
+        tiny_cfg(), tasks, loaders,
+        opt_cfg=OptimizerConfig(learning_rate=1e-4), num_labels=13,
+        num_train_epochs=2,
+        train_cfg=TrainConfig(gradient_accumulation_steps=2),
+    )
+    assert tr.median_num_iter == base.median_num_iter // 2
+    metrics = tr.train_iteration(0)
+    assert set(metrics) == set(tasks)
+    for k, m in metrics.items():
+        assert np.isfinite(float(m["loss"])), k
+
+
 def test_unknown_family_rejected():
     tasks, loaders = make_world()
     with pytest.raises(ValueError, match="model_family"):

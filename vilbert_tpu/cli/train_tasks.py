@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax checkpoint dir to resume full training state")
     p.add_argument("--freeze", default="", help="param path prefix to freeze")
     p.add_argument("--train_iter_gap", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--task_specific_tokens", action="store_true")
     p.add_argument("--dynamic_attention", action="store_true")
     p.add_argument("--use_pallas", action="store_true")
@@ -129,6 +130,7 @@ def main(argv=None) -> None:
         tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
         loaders, val_loaders = load_datasets(
             selected, tokenizer, seed=args.seed,
+            grad_accum=args.gradient_accumulation_steps,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
         )
 
@@ -149,9 +151,11 @@ def main(argv=None) -> None:
     trainer = MultiTaskTrainer(
         model_cfg, selected, loaders,
         opt_cfg=opt_cfg,
-        train_cfg=TrainConfig(freeze_prefix=args.freeze,
-                              train_iter_gap=args.train_iter_gap,
-                              checkpoint_dir=f"{args.output_dir}/ckpt"),
+        train_cfg=TrainConfig(
+            freeze_prefix=args.freeze,
+            train_iter_gap=args.train_iter_gap,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            checkpoint_dir=f"{args.output_dir}/ckpt"),
         val_loaders=val_loaders,
         seed=args.seed,
         num_train_epochs=args.num_epochs,

@@ -262,6 +262,11 @@ class MultiTaskTrainer:
         else:
             raise ValueError(f"unknown model_family {model_family!r}")
         self.train_cfg = train_cfg or TrainConfig()
+        #: grad accumulation: loaders yield batch_size/ga samples; one
+        #: iteration scans ga of them and steps the optimizer once, so the
+        #: optimization-step count matches the reference's
+        #: median_num_iter*epochs//ga (train_tasks.py:352-354,:537-559)
+        self.grad_accum = max(self.train_cfg.gradient_accumulation_steps, 1)
         val_loaders = val_loaders or {}
 
         # per-task LR -> base lr + loss scales (train_tasks.py:239-251)
@@ -282,7 +287,9 @@ class MultiTaskTrainer:
             int(t.num_epoch * len(loaders[k]) / self.num_train_epochs)
             for k, t in tasks.items()
         ]
-        self.median_num_iter = max(ave_iters) if ave_iters else 0
+        self.median_num_iter = (
+            max(ave_iters) // self.grad_accum if ave_iters else 0
+        )
 
         self.rng = jax.random.PRNGKey(seed)
         first_key = next(iter(tasks))
@@ -352,7 +359,19 @@ class MultiTaskTrainer:
             from vilbert_tpu.parallel.mesh import batch_sharding, replicate_pytree
 
             self.state = TrainState(*replicate_pytree(tuple(self.state), mesh))
-            self._batch_sharding = batch_sharding(mesh)
+            if self.grad_accum > 1:
+                # the data axis shards the microbatch dim, not the scan dim
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                assert jax.process_count() == 1, (
+                    "gradient accumulation with multi-host train_tasks is "
+                    "not wired; drop one of the two"
+                )
+                self._batch_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, "data")
+                )
+            else:
+                self._batch_sharding = batch_sharding(mesh)
             if jax.process_count() > 1:
                 # multi-host: loaders yield per-process shards; assemble the
                 # global batch (SURVEY.md §2.5)
@@ -371,7 +390,7 @@ class MultiTaskTrainer:
                 loss_scale=self.loss_scales[key],
                 step_fn=make_train_step(
                     loss_fn, self.tx, loss_scale=self.loss_scales[key],
-                    external_lr=True,
+                    external_lr=True, grad_accum=self.grad_accum,
                 ),
                 eval_fn=make_task_eval_fn(self.model, model_cfg, tcfg),
                 num_iters=len(loaders[key]),
@@ -459,8 +478,19 @@ class MultiTaskTrainer:
         for key, task in self.tasks.items():
             if not self.controller.should_train(key, iter_id):
                 continue
-            batch = task.next_batch()
-            batch = {k: v for k, v in batch.items() if k != "question_id"}
+            if self.grad_accum > 1:
+                # one iteration = ga divided batches scanned inside the step
+                # (train_step grad_accum contract); loaders were built with
+                # batch_size/ga (reference train_tasks.py:150-155)
+                micro = [
+                    {k: v for k, v in task.next_batch().items()
+                     if k != "question_id"}
+                    for _ in range(self.grad_accum)
+                ]
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+            else:
+                batch = task.next_batch()
+                batch = {k: v for k, v in batch.items() if k != "question_id"}
             if self._batch_placer is not None:
                 batch = self._batch_placer(batch)
             elif self._batch_sharding is not None:
