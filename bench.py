@@ -176,7 +176,9 @@ def bench_e2e(num_workers: int = 0) -> None:
         OptimizerConfig(learning_rate=1e-4, schedule="constant"), params, 1000
     )
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(make_pretrain_loss_fn(model, cfg), tx)
+    step_fn = make_train_step(
+        make_pretrain_loss_fn(model, cfg, lm_gather=SEQ // 3), tx
+    )
 
     key = jax.random.PRNGKey(0)
     batch = first
@@ -203,7 +205,8 @@ def bench_e2e(num_workers: int = 0) -> None:
 
 
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
-         metric_suffix: str = "") -> None:
+         metric_suffix: str = "", lm_gather: int = SEQ // 3,
+         fused_qkv: bool = True) -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -225,10 +228,12 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         )
     else:
         cfg = _bench_model_cfg()
-        if remat:
-            import dataclasses
+    import dataclasses
 
-            cfg = dataclasses.replace(cfg, remat=True)
+    if remat:
+        cfg = dataclasses.replace(cfg, remat=True)
+    if not fused_qkv:
+        cfg = dataclasses.replace(cfg, fused_qkv=False)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -260,7 +265,7 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         OptimizerConfig(learning_rate=1e-4, schedule="constant"), params, 1000
     )
     state = TrainState.create(params, tx)
-    loss_fn = make_pretrain_loss_fn(model, cfg)
+    loss_fn = make_pretrain_loss_fn(model, cfg, lm_gather=lm_gather)
     step_fn = make_train_step(loss_fn, tx)
 
     batch = jax.tree.map(jax.device_put, batch)
@@ -310,6 +315,9 @@ if __name__ == "__main__":
     elif "--large" in sys.argv:
         main(config_json="configs/bert_large_6layer_6conect.json",
              batch=_arg("--batch", 128), remat="--remat" in sys.argv,
-             metric_suffix="_large")
+             metric_suffix="_large",
+             lm_gather=_arg("--lm_gather", SEQ // 3))
     else:
-        main(batch=_arg("--batch"), remat="--remat" in sys.argv)
+        main(batch=_arg("--batch"), remat="--remat" in sys.argv,
+             lm_gather=_arg("--lm_gather", SEQ // 3),
+             fused_qkv="--no_fused_qkv" not in sys.argv)

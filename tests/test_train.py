@@ -253,3 +253,63 @@ class TestEndToEnd:
         k1 = np.asarray(s1.params["bert"]["t_pooler"]["dense"]["kernel"])
         k2 = np.asarray(s2.params["bert"]["t_pooler"]["dense"]["kernel"])
         np.testing.assert_allclose(k1, k2, atol=2e-6)
+
+
+class TestLMGather:
+    def test_gathered_lm_loss_matches_full(self, tiny_config):
+        """lm_gather=K projects only masked positions through the LM head;
+        the loss must be identical to the full-sequence projection whenever
+        every sample has <= K masked tokens."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        model = ViLBERTForPretraining(tiny_config)
+        B, T, R = 3, 10, 5
+        rng = np.random.RandomState(0)
+        batch = {
+            "input_ids": rng.randint(1, tiny_config.vocab_size, (B, T)).astype(
+                np.int32
+            ),
+            "image_feat": rng.randn(B, R, tiny_config.v_feature_size).astype(
+                np.float32
+            ),
+            "image_loc": rng.rand(B, R, 5).astype(np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.full((B, R - 1), -1, np.int32),
+            "image_target": np.ones(
+                (B, R - 1, tiny_config.v_target_size), np.float32
+            ) / tiny_config.v_target_size,
+            "is_next": np.zeros((B, B), np.int32)[0],
+        }
+        # irregular masked counts per sample (3, 1, 0), all <= K=4
+        batch["lm_label_ids"][0, [1, 4, 7]] = [5, 6, 7]
+        batch["lm_label_ids"][1, [2]] = [9]
+        params = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+            batch["image_loc"],
+        )["params"]
+
+        full = make_pretrain_loss_fn(model, tiny_config, deterministic=True)
+        gathered = make_pretrain_loss_fn(
+            model, tiny_config, deterministic=True, lm_gather=4
+        )
+        key = jax.random.PRNGKey(1)
+        loss_f, m_f = full(params, batch, key)
+        loss_g, m_g = gathered(params, batch, key)
+        np.testing.assert_allclose(float(loss_f), float(loss_g), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(m_f["masked_loss_t"]), float(m_g["masked_loss_t"]), rtol=1e-6
+        )
+
+        # overflow: K=2 < 3 masked tokens in sample 0 -> first 2 in position
+        # order kept, numerator/denominator both exclude the overflow
+        g2 = make_pretrain_loss_fn(
+            model, tiny_config, deterministic=True, lm_gather=2
+        )
+        _, m_g2 = g2(params, batch, key)
+        assert np.isfinite(float(m_g2["masked_loss_t"]))

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coordinator host:port for jax.distributed")
     p.add_argument("--num_processes", type=int, default=0)
     p.add_argument("--process_id", type=int, default=-1)
+    p.add_argument("--lm_gather", type=int, default=-1,
+                   help="project only K masked positions through the LM head "
+                        "(-1: auto seq_len//3, 0: full sequence)")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each encoder block (large models)")
@@ -174,6 +177,9 @@ def main(argv=None) -> None:
         model_cfg, opt_cfg, loader,
         num_steps=num_steps, seed=args.seed, img_weight=args.img_weight,
         grad_accum=args.gradient_accumulation_steps, init_params=init_params,
+        lm_gather=(
+            args.seq_len // 3 if args.lm_gather == -1 else args.lm_gather
+        ),
         hooks=hooks,
     )
 

@@ -196,7 +196,12 @@ class ConceptCapPreprocessor:
         out["image_label"][row, :n] = image_label[:n]
         out["image_mask"][row, : n + 1] = 1  # + global row
         out["masked_label"][row] = masked_label[: cfg.region_len]
-        out["image_id"][row] = hash(str(image_id)) % 2**31
+        # stable digest, not hash(): PYTHONHASHSEED randomizes str hashes
+        # per process and this id must be reproducible across runs
+        import hashlib
+
+        md5 = hashlib.md5(str(image_id).encode("utf-8")).digest()
+        out["image_id"][row] = int.from_bytes(md5[:4], "little") % 2**31
         # note: image_target was written BEFORE random_region — the regression
         # target is the unmasked feature (reference deep-copies pre-masking,
         # concept_cap_dataset.py:456-461)

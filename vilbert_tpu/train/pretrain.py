@@ -31,16 +31,36 @@ def make_pretrain_loss_fn(
     *,
     img_weight: float = 1.0,
     deterministic: bool = False,
+    lm_gather: int = 0,
 ) -> Callable:
     """loss_fn(params, batch, rng) for make_train_step.
 
     Replicates the objective handling of the reference loop
     (train_concap.py:535-559): objective==1 clears LM/region labels of
     misaligned pairs; objective==2 drops the alignment loss.
+
+    ``lm_gather=K > 0`` projects only (up to) K masked positions per sample
+    through the vocab LM head instead of the full sequence — identical loss
+    whenever a sample has ≤ K masked tokens (at 15% of ≤36 tokens, K=12
+    covers >99.8% of samples; overflow positions are excluded from the loss,
+    numerator and denominator alike). Saves ~2/3 of the LM-head FLOPs.
     """
 
     def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array):
         drop_rng, nce_rng = jax.random.split(rng)
+        lm_labels = batch["lm_label_ids"]
+        lm_positions = None
+        if lm_gather:
+            # stable order of masked positions first; unmasked slots point
+            # at position 0 with label -1 (ignored by the CE)
+            masked = lm_labels != -1
+            order = jnp.argsort(~masked, axis=1, stable=True)[:, :lm_gather]
+            lm_labels = jnp.where(
+                jnp.take_along_axis(masked, order, axis=1),
+                jnp.take_along_axis(lm_labels, order, axis=1),
+                -1,
+            )
+            lm_positions = order.astype(jnp.int32)
         out = model.apply(
             {"params": params},
             batch["input_ids"],
@@ -49,10 +69,10 @@ def make_pretrain_loss_fn(
             batch["segment_ids"],
             batch["input_mask"],
             batch["image_mask"],
+            lm_positions=lm_positions,
             deterministic=deterministic,
             rngs={} if deterministic else {"dropout": drop_rng},
         )
-        lm_labels = batch["lm_label_ids"]
         image_label = batch["image_label"]
         if cfg.objective == 1:
             aligned = (batch["is_next"] == 0)[:, None]
@@ -92,6 +112,7 @@ def run_pretraining(
     seed: int = 0,
     img_weight: float = 1.0,
     grad_accum: int = 1,
+    lm_gather: int = 0,
     mesh=None,
     init_params=None,
     log_every: int = 20,
@@ -123,7 +144,9 @@ def run_pretraining(
     state = TrainState.create(init_params, tx)
     state = TrainState(*replicate_pytree(tuple(state), mesh))
 
-    loss_fn = make_pretrain_loss_fn(model, model_cfg, img_weight=img_weight)
+    loss_fn = make_pretrain_loss_fn(
+        model, model_cfg, img_weight=img_weight, lm_gather=lm_gather
+    )
     step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum)
 
     import itertools
