@@ -206,7 +206,7 @@ def bench_e2e(num_workers: int = 0) -> None:
 
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
-         fused_qkv: bool = True) -> None:
+         fused_qkv: bool = False) -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -232,8 +232,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
 
     if remat:
         cfg = dataclasses.replace(cfg, remat=True)
-    if not fused_qkv:
-        cfg = dataclasses.replace(cfg, fused_qkv=False)
+    if fused_qkv:  # measured slower (docs/perf.md); A/B knob
+        cfg = dataclasses.replace(cfg, fused_qkv=True)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -320,4 +320,4 @@ if __name__ == "__main__":
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
-             fused_qkv="--no_fused_qkv" not in sys.argv)
+             fused_qkv="--fused_qkv" in sys.argv)

@@ -313,3 +313,38 @@ class TestLMGather:
         )
         _, m_g2 = g2(params, batch, key)
         assert np.isfinite(float(m_g2["masked_loss_t"]))
+
+
+class TestFusedQKV:
+    def test_fused_matches_unfused(self, tiny_config):
+        """fused_qkv=True runs one [D,3H] GEMM per attention but must produce
+        the same outputs from the same (three-way) param tree."""
+        import dataclasses
+
+        import jax
+
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+
+        B, T, R = 2, 9, 5
+        rng = np.random.RandomState(0)
+        ids = rng.randint(1, tiny_config.vocab_size, (B, T)).astype(np.int32)
+        feat = rng.randn(B, R, tiny_config.v_feature_size).astype(np.float32)
+        loc = rng.rand(B, R, 5).astype(np.float32)
+
+        plain = ViLBERTForPretraining(
+            dataclasses.replace(tiny_config, fused_qkv=False)
+        )
+        fused = ViLBERTForPretraining(
+            dataclasses.replace(tiny_config, fused_qkv=True)
+        )
+        params = plain.init(jax.random.PRNGKey(0), ids, feat, loc)["params"]
+        out_p = plain.apply({"params": params}, ids, feat, loc)
+        out_f = fused.apply({"params": params}, ids, feat, loc)
+        np.testing.assert_allclose(
+            np.asarray(out_p.prediction_scores_t),
+            np.asarray(out_f.prediction_scores_t), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.prediction_scores_v),
+            np.asarray(out_f.prediction_scores_v), atol=1e-5,
+        )

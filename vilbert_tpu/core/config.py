@@ -82,7 +82,12 @@ class ModelConfig:
     use_pallas_attention: bool = False
     use_pallas_layernorm: bool = False
     use_fast_dropout: bool = True  # counter-hash dropout (ops/dropout.py)
-    fused_qkv: bool = True  # one [D,3H] projection GEMM per attention
+    # one [D,3H] projection GEMM per attention. Measured SLOWER than three
+    # separate Dense ops on v5e (1774 vs 1923 samples/s/chip): the per-step
+    # concatenate of the three kernels (kept separate for checkpoint parity)
+    # costs more than the wide-GEMM gain at these shapes. Default off;
+    # kept for A/B (bench.py --no_fused_qkv toggles, docs/perf.md).
+    fused_qkv: bool = False
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):
