@@ -206,7 +206,7 @@ def bench_e2e(num_workers: int = 0) -> None:
 
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
-         fused_qkv: bool = False) -> None:
+         fused_qkv: bool = False, fp32_softmax: bool = False) -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -234,6 +234,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, remat=True)
     if fused_qkv:  # measured slower (docs/perf.md); A/B knob
         cfg = dataclasses.replace(cfg, fused_qkv=True)
+    if fp32_softmax:  # A/B knob: default is "auto" (= bf16 here)
+        cfg = dataclasses.replace(cfg, softmax_dtype="float32")
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -320,4 +322,5 @@ if __name__ == "__main__":
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
-             fused_qkv="--fused_qkv" in sys.argv)
+             fused_qkv="--fused_qkv" in sys.argv,
+             fp32_softmax="--fp32_softmax" in sys.argv)

@@ -82,6 +82,15 @@ class ModelConfig:
     use_pallas_attention: bool = False
     use_pallas_layernorm: bool = False
     use_fast_dropout: bool = True  # counter-hash dropout (ops/dropout.py)
+    # dtype of the attention scores/softmax. "auto" follows compute_dtype
+    # (flax's own dot_product_attention convention); set "float32" to pin
+    # fp32 stats regardless of bf16 compute. bf16 scores halve the
+    # [B,h,Sq,Sk] HBM traffic and drop the backward converts (measured
+    # 1921 -> 2026 samples/s/chip); the reference's own fp16 mode ran
+    # softmax in fp16 (model.half(), train_concap.py:504-505), so this is
+    # no looser than the published recipe. Parity tests run fp32 compute,
+    # where "auto" resolves to fp32.
+    softmax_dtype: str = "auto"
     # one [D,3H] projection GEMM per attention. Measured SLOWER than three
     # separate Dense ops on v5e (1774 vs 1923 samples/s/chip): the per-step
     # concatenate of the three kernels (kept separate for checkpoint parity)
@@ -130,6 +139,13 @@ class ModelConfig:
         return dataclasses.replace(self, **overrides)
 
     # -- derived ------------------------------------------------------------
+
+    @property
+    def resolved_softmax_dtype(self) -> str:
+        return (
+            self.compute_dtype if self.softmax_dtype == "auto"
+            else self.softmax_dtype
+        )
 
     @property
     def num_connection_layers(self) -> int:

@@ -96,6 +96,7 @@ class BiAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            softmax_dtype=cfg.resolved_softmax_dtype,
         )
         # image queries -> text keys/values (image-side context)
         context_v = attention_core(
@@ -107,6 +108,7 @@ class BiAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            softmax_dtype=cfg.resolved_softmax_dtype,
         )
         if cfg.visualization:
             context_t, probs_t = context_t

@@ -192,6 +192,7 @@ class SelfAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            softmax_dtype=cfg.resolved_softmax_dtype,
         )
         if cfg.visualization:
             out, probs = out

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -49,6 +50,7 @@ def attention_core(
     impl: str = "xla",
     return_probs: bool = False,
     fast_dropout: bool = True,
+    softmax_dtype=jnp.float32,
 ) -> jax.Array:
     """Scaled dot-product attention over projected inputs.
 
@@ -85,12 +87,18 @@ def attention_core(
     vh = v.reshape(b, sk, num_heads, d)
     head_dim = d
 
+    # softmax_dtype=bf16 keeps the [B,h,Sq,Sk] scores tensor and the softmax
+    # passes in bf16 (half the HBM traffic, no convert in the backward). The
+    # reference's fp16 apex path ran softmax in fp16 (model.half(),
+    # train_concap.py:504-505), so fp32 stats here are stricter than parity
+    # requires; fp32 stays the default and is always used for parity tests.
+    sdt = jnp.dtype(softmax_dtype)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=sdt
     )
-    scores = scores * (1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32)))
+    scores = scores * jnp.asarray(1.0 / np.sqrt(head_dim), sdt)
     if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        scores = scores + bias.astype(sdt)
     probs = jax.nn.softmax(scores, axis=-1)
 
     if dropout_rate > 0.0 and not deterministic:
