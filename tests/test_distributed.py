@@ -84,6 +84,15 @@ state = run_pretraining(
 )
 loss_like = float(np.asarray(jax.device_get(state.params["bert"]["embeddings"]["word_embeddings"]["embedding"])).sum())
 print(f"FINAL {loss_like:.6f}", flush=True)
+
+# grad-accum on multi-host: per-host [grad_accum, B_local//ga, ...] shards
+# assembled on microbatch axis 1 (make_global_batch batch_axis=1)
+state2 = run_pretraining(
+    cfg, OptimizerConfig(learning_rate=1e-3, schedule="constant"),
+    loader, num_steps=3, seed=0, log_every=0, grad_accum=2,
+)
+loss_like2 = float(np.asarray(jax.device_get(state2.params["bert"]["embeddings"]["word_embeddings"]["embedding"])).sum())
+print(f"FINAL2 {loss_like2:.6f}", flush=True)
 """
 
 
@@ -112,10 +121,11 @@ def test_two_process_cpu_training(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
-    finals = [
-        [ln for ln in out.splitlines() if ln.startswith("FINAL")][-1]
-        for out in outs
-    ]
-    # both processes hold the same replicated params after 3 psum'd steps
-    v0, v1 = (float(f.split()[1]) for f in finals)
-    assert np.isfinite(v0) and abs(v0 - v1) < 1e-6, finals
+    for tag in ("FINAL ", "FINAL2"):
+        finals = [
+            [ln for ln in out.splitlines() if ln.startswith(tag)][-1]
+            for out in outs
+        ]
+        # both processes hold the same replicated params after 3 psum'd steps
+        v0, v1 = (float(f.split()[1]) for f in finals)
+        assert np.isfinite(v0) and abs(v0 - v1) < 1e-6, (tag, finals)

@@ -67,22 +67,29 @@ def process_shard() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
-def make_global_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+def make_global_batch(
+    batch: Any, mesh: Mesh, axis: str = "data", batch_axis: int = 0
+) -> Any:
     """Assemble per-host local batches into one global batch-sharded array
     tree (jax.make_array_from_process_local_data over NamedSharding(P(axis)));
     the per-host shard of the reference's DistributedSampler, TPU-style.
+
+    ``batch_axis`` selects which array axis carries the per-host batch shard
+    (1 for grad-accum microbatches shaped [grad_accum, B_local, ...], where
+    the scan axis 0 is identical across hosts).
 
     Single-process: equivalent to a sharded device_put (same code path keeps
     tests honest)."""
     def place(x):
         x = np.asarray(x)
-        spec = P(axis, *([None] * (x.ndim - 1)))
-        sharding = NamedSharding(mesh, spec)
+        spec_axes = [None] * x.ndim
+        spec_axes[batch_axis] = axis
+        sharding = NamedSharding(mesh, P(*spec_axes))
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(place, batch)
 
 
-def make_global_batch_fn(mesh: Mesh, axis: str = "data"):
+def make_global_batch_fn(mesh: Mesh, axis: str = "data", batch_axis: int = 0):
     """Partial of make_global_batch for prefetch pipelines."""
-    return lambda batch: make_global_batch(batch, mesh, axis)
+    return lambda batch: make_global_batch(batch, mesh, axis, batch_axis)

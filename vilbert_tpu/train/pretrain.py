@@ -179,8 +179,11 @@ def run_pretraining(
         # train_concap.py:290-294)
         from vilbert_tpu.parallel.distributed import make_global_batch_fn
 
-        assert grad_accum == 1, "grad_accum on multi-host: reshape per host"
-        placer = make_global_batch_fn(mesh)
+        # with grad_accum the host_transform has already reshaped to
+        # [grad_accum, B_local, ...]; the per-host shard lives on axis 1
+        placer = make_global_batch_fn(
+            mesh, batch_axis=1 if grad_accum > 1 else 0
+        )
         sharding = None
     elif grad_accum > 1:
         sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
