@@ -206,7 +206,8 @@ def bench_e2e(num_workers: int = 0) -> None:
 
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
-         fused_qkv: bool = False, fp32_softmax: bool = False) -> None:
+         fused_qkv: bool = False, fp32_softmax: bool = False,
+         no_head_major: bool = False) -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -236,6 +237,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, fused_qkv=True)
     if fp32_softmax:  # A/B knob: default is "auto" (= bf16 here)
         cfg = dataclasses.replace(cfg, softmax_dtype="float32")
+    if no_head_major:  # A/B knob: default is head-major [B,h,S,d] attention
+        cfg = dataclasses.replace(cfg, head_major_attention=False)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -323,4 +326,5 @@ if __name__ == "__main__":
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
              fused_qkv="--fused_qkv" in sys.argv,
-             fp32_softmax="--fp32_softmax" in sys.argv)
+             fp32_softmax="--fp32_softmax" in sys.argv,
+             no_head_major="--no_head_major" in sys.argv)

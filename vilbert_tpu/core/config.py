@@ -97,6 +97,12 @@ class ModelConfig:
     # costs more than the wide-GEMM gain at these shapes. Default off;
     # kept for A/B (bench.py --no_fused_qkv toggles, docs/perf.md).
     fused_qkv: bool = False
+    # project q/k/v straight into head-major [B, h, S, d] (the layout the
+    # attention dots want) and fold the head merge into the output
+    # projection. Removes the [B,S,H]<->[B,h,S,d] layout copies XLA
+    # otherwise inserts around every attention dot (~12 ms/step in the
+    # round-2 profile). Params stay Dense-compatible (checkpoint parity).
+    head_major_attention: bool = True
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):

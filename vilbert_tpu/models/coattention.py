@@ -71,6 +71,14 @@ class BiAttention(nn.Module):
 
             q1, k1, v1 = fused(input_v, ("query1", "key1", "value1"))
             q2, k2, v2 = fused(input_t, ("query2", "key2", "value2"))
+        elif cfg.head_major_attention and not cfg.use_pallas_attention:
+            from vilbert_tpu.models.layers import HeadProj
+
+            hp = lambda x, nm: HeadProj(
+                bi, cfg.bi_num_attention_heads, cfg, name=nm
+            )(x)
+            q1, k1, v1 = hp(input_v, "query1"), hp(input_v, "key1"), hp(input_v, "value1")
+            q2, k2, v2 = hp(input_t, "query2"), hp(input_t, "key2"), hp(input_t, "value2")
         else:
             q1 = _dense(cfg, bi, "query1")(input_v)
             k1 = _dense(cfg, bi, "key1")(input_v)
@@ -135,11 +143,17 @@ class BiOutput(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        hv = _dense(cfg, cfg.v_hidden_size, "dense1")(context_v)
+        if context_v.ndim == 4:  # head-major contexts (see layers.MergeProj)
+            from vilbert_tpu.models.layers import MergeProj
+
+            hv = MergeProj(cfg, cfg.v_hidden_size, name="dense1")(context_v)
+            ht = MergeProj(cfg, cfg.hidden_size, name="dense2")(context_t)
+        else:
+            hv = _dense(cfg, cfg.v_hidden_size, "dense1")(context_v)
+            ht = _dense(cfg, cfg.hidden_size, "dense2")(context_t)
         hv = _dropout(cfg, cfg.v_hidden_dropout_prob)(hv, deterministic=deterministic)
         out_v = _ln(cfg, "LayerNorm1")(hv, residual=input_v)
 
-        ht = _dense(cfg, cfg.hidden_size, "dense2")(context_t)
         ht = _dropout(cfg, cfg.hidden_dropout_prob)(ht, deterministic=deterministic)
         out_t = _ln(cfg, "LayerNorm2")(ht, residual=input_t)
         return out_v, out_t

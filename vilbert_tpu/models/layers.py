@@ -112,6 +112,44 @@ class ProjParams(nn.Module):
         return kernel, bias
 
 
+class HeadProj(nn.Module):
+    """Dense-compatible projection emitting head-major [B, h, S, d] directly.
+
+    Params are exactly nn.Dense's (kernel [in, H], bias [H]) so checkpoints
+    round-trip unchanged; the head split is folded into the projection
+    einsum so the GEMM writes the layout the attention dots consume — no
+    [B,S,H] -> [B,h,S,d] reshape/transpose copies in the compiled step
+    (~12 ms/step of pure layout copies in the round-2 profile, docs/perf.md).
+    """
+
+    features: int
+    num_heads: int
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=cfg.initializer_range),
+            (x.shape[-1], self.features),
+            jnp.dtype(cfg.param_dtype),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,),
+            jnp.dtype(cfg.param_dtype),
+        )
+        h = self.num_heads
+        d = self.features // h
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        w = kernel.reshape(x.shape[-1], h, d).astype(cdtype)
+        b = bias.reshape(h, d).astype(cdtype)
+        return (
+            jnp.einsum("bsi,ihd->bhsd", x.astype(cdtype), w)
+            + b[None, :, None, :]
+        )
+
+
 class SelfAttention(nn.Module):
     """Q/K/V projection + attention core. Serves both streams.
 
@@ -155,6 +193,11 @@ class SelfAttention(nn.Module):
             b = jnp.concatenate([p[1] for p in pairs]).astype(cdtype)
             qkv = hidden_states.astype(cdtype) @ w + b
             q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif cfg.head_major_attention and not cfg.use_pallas_attention:
+            hp = lambda nm: HeadProj(
+                self.hidden_size, self.num_heads, cfg, name=nm
+            )(hidden_states)
+            q, k, v = hp("query"), hp("key"), hp("value")
         else:
             q = _dense(cfg, self.hidden_size, "query")(hidden_states)
             k = _dense(cfg, self.hidden_size, "key")(hidden_states)
@@ -173,8 +216,13 @@ class SelfAttention(nn.Module):
             gate_k = 1.0 + jax.nn.sigmoid(
                 _dense(cfg, self.hidden_size, "dyLinear_k")(pooled)
             )
-            q = q * gate_q[:, None, :]
-            k = k * gate_k[:, None, :]
+            if q.ndim == 4:  # head-major [B, h, S, d]
+                b_, h_, _, d_ = q.shape
+                q = q * gate_q.reshape(b_, h_, 1, d_)
+                k = k * gate_k.reshape(b_, h_, 1, d_)
+            else:
+                q = q * gate_q[:, None, :]
+                k = k * gate_k[:, None, :]
 
         dropout_rng = None
         if not deterministic and self.dropout_rate > 0.0:
@@ -202,6 +250,33 @@ class SelfAttention(nn.Module):
         return out
 
 
+class MergeProj(nn.Module):
+    """Dense-compatible output projection over a head-major [B, h, S, d]
+    context: contracts (h, d) in one einsum so the head merge rides the GEMM
+    instead of a layout copy. Params identical to nn.Dense([h*d, features])."""
+
+    config: ModelConfig
+    features: int
+
+    @nn.compact
+    def __call__(self, ctx: jax.Array) -> jax.Array:
+        cfg = self.config
+        _, h, _, d = ctx.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=cfg.initializer_range),
+            (h * d, self.features),
+            jnp.dtype(cfg.param_dtype),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,),
+            jnp.dtype(cfg.param_dtype),
+        )
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        w = kernel.reshape(h, d, self.features).astype(cdtype)
+        return jnp.einsum("bhsd,hdo->bso", ctx, w) + bias.astype(cdtype)
+
+
 class AttentionOutput(nn.Module):
     """dense -> dropout -> LN(x + input) (reference BertSelfOutput)."""
 
@@ -214,7 +289,12 @@ class AttentionOutput(nn.Module):
         self, hidden_states: jax.Array, input_tensor: jax.Array, *, deterministic=True
     ) -> jax.Array:
         cfg = self.config
-        h = _dense(cfg, self.hidden_size, "dense")(hidden_states)
+        if hidden_states.ndim == 4:
+            # head-major context from attention_core: fold the head merge
+            # into the output projection (no [B,h,S,d]->[B,S,H] copy)
+            h = MergeProj(cfg, self.hidden_size, name="dense")(hidden_states)
+        else:
+            h = _dense(cfg, self.hidden_size, "dense")(hidden_states)
         h = _dropout(self.config, self.dropout_rate)(h, deterministic=deterministic)
         return _ln(cfg)(h, residual=input_tensor)
 

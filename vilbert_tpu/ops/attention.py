@@ -55,9 +55,12 @@ def attention_core(
     """Scaled dot-product attention over projected inputs.
 
     Args:
-      q: [B, Sq, H] query projections.
-      k: [B, Sk, H] key projections.
-      v: [B, Sk, H] value projections.
+      q: [B, Sq, H] query projections, or head-major [B, h, Sq, d]
+        (from a HeadProj — the layout the attention dots want; the output
+        is then also head-major and the caller folds the head merge into
+        its output projection).
+      k: [B, Sk, H] key projections (or [B, h, Sk, d]).
+      v: [B, Sk, H] value projections (or [B, h, Sk, d]).
       bias: additive attention bias broadcastable to [B, h, Sq, Sk]
         (typically [B, 1, 1, Sk] with 0 / −10000 entries), or None.
       num_heads: number of attention heads h (H % h == 0).
@@ -65,8 +68,45 @@ def attention_core(
       impl: "xla" | "pallas".
 
     Returns:
-      [B, Sq, H] attention output (pre output-projection).
+      [B, Sq, H] attention output (pre output-projection), or [B, h, Sq, d]
+      for head-major inputs.
     """
+    if q.ndim == 4:
+        # head-major fast path: plain batched dots over (B, h) — no layout
+        # copies; scores/probs layout matches the 3D path ([B, h, Sq, Sk]).
+        # (Deferring the projection biases into the scores algebraically was
+        # tried and measured SLOWER — 1969 vs 2057 samples/s/chip — the
+        # rank-1 score corrections cost more than the bias-add copies.)
+        assert q.shape[1] == num_heads, (q.shape, num_heads)
+        sdt = jnp.dtype(softmax_dtype)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=sdt
+        )
+        scores = scores * jnp.asarray(1.0 / np.sqrt(q.shape[-1]), sdt)
+        if bias is not None:
+            scores = scores + bias.astype(sdt)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if dropout_rate > 0.0 and not deterministic:
+            if dropout_rng is None:
+                raise ValueError(
+                    "dropout_rng required when applying attention dropout"
+                )
+            if fast_dropout:
+                from vilbert_tpu.ops.dropout import hash_keep_mask
+
+                seed = jax.random.bits(dropout_rng, (), jnp.uint32)
+                keep = hash_keep_mask(probs.shape, dropout_rate, seed)
+            else:
+                keep = jax.random.bernoulli(
+                    dropout_rng, 1.0 - dropout_rate, probs.shape
+                )
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = probs.astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if return_probs:
+            return ctx, probs
+        return ctx
+
     if impl == "pallas" and not return_probs:
         from vilbert_tpu.ops.pallas_attention_train import fused_attention_train
 
