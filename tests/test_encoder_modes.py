@@ -145,3 +145,49 @@ class TestVisualization:
         shapes = [np.asarray(v).shape for _, v in flat]
         # text self-attention maps are [B, h, T, T]
         assert any(s[-1] == ids.shape[1] and s[-2] == ids.shape[1] for s in shapes)
+
+
+class TestHeadMajorLayout:
+    def test_head_major_matches_standard_layout(self, tiny_config):
+        """head_major_attention is a pure layout optimization: with identical
+        params it must reproduce the standard-layout forward (same GEMMs,
+        different operand order — fp32 here, so near-bitwise)."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        ids, feats, locs = _inputs(tiny_config, B=3)
+        hm = BertModel(tiny_config.replace(head_major_attention=True))
+        std = BertModel(tiny_config.replace(head_major_attention=False))
+        params = hm.init(jax.random.PRNGKey(0), ids, feats, locs)
+        # identical param trees (HeadProj/MergeProj are Dense-compatible)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+            params, std.init(jax.random.PRNGKey(0), ids, feats, locs),
+        )
+        out_hm = hm.apply(params, ids, feats, locs)
+        out_std = std.apply(params, ids, feats, locs)
+        for field in ("sequence_t", "sequence_v", "pooled_t", "pooled_v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_hm, field)),
+                np.asarray(getattr(out_std, field)),
+                atol=2e-5, rtol=2e-5, err_msg=field,
+            )
+
+    def test_head_major_dynamic_attention(self, tiny_config):
+        """Dynamic-attention gates work in both layouts and agree."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        cfg = tiny_config.replace(dynamic_attention=True)
+        ids, feats, locs = _inputs(cfg, B=2)
+        hm = BertModel(cfg.replace(head_major_attention=True))
+        std = BertModel(cfg.replace(head_major_attention=False))
+        params = hm.init(jax.random.PRNGKey(1), ids, feats, locs)
+        out_hm = hm.apply(params, ids, feats, locs)
+        out_std = std.apply(params, ids, feats, locs)
+        np.testing.assert_allclose(
+            np.asarray(out_hm.sequence_v), np.asarray(out_std.sequence_v),
+            atol=2e-5, rtol=2e-5,
+        )
