@@ -191,3 +191,37 @@ class TestHeadMajorLayout:
             np.asarray(out_hm.sequence_v), np.asarray(out_std.sequence_v),
             atol=2e-5, rtol=2e-5,
         )
+
+
+class TestRemat:
+    def test_remat_grad_matches_no_remat(self, tiny_config):
+        """cfg.remat wraps the blocks in nn.remat (static deterministic arg);
+        gradients must match the plain forward exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        ids, feats, locs = _inputs(tiny_config, B=2)
+        plain = BertModel(tiny_config)
+        remat = BertModel(tiny_config.replace(remat=True))
+        params = plain.init(jax.random.PRNGKey(0), ids, feats, locs)
+
+        def loss(model, p, det):
+            out = model.apply(
+                p, ids, feats, locs, deterministic=det,
+                rngs=None if det else {"dropout": jax.random.PRNGKey(7)},
+            )
+            return jnp.sum(out.pooled_t ** 2) + jnp.sum(out.pooled_v ** 2)
+
+        g_plain = jax.grad(lambda p: loss(plain, p, True))(params)
+        g_remat = jax.grad(lambda p: loss(remat, p, True))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5),
+            g_plain, g_remat,
+        )
+        # the dropout (non-deterministic) branch must also trace under remat
+        g_drop = jax.grad(lambda p: loss(remat, p, False))(params)
+        assert all(
+            np.isfinite(x).all() for x in jax.tree.leaves(g_drop)
+        )

@@ -171,7 +171,6 @@ class ConnectionLayer(nn.Module):
         bias_v: jax.Array,
         input_t: jax.Array,
         bias_t: jax.Array,
-        *,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config

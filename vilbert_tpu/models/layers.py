@@ -157,10 +157,11 @@ class SelfAttention(nn.Module):
     the text stream (hidden_size, num_attention_heads) and the image stream
     (v_hidden_size, v_num_attention_heads).
 
-    The three projections run as one [D, 3H] matmul (MXU prefers one wide
-    GEMM over three square ones, and the backward dW becomes a single
-    reduction); the params stay three separate (kernel, bias) pairs so
-    checkpoint import/export is unchanged.
+    Projection variants (all keep the torch-mirroring param tree, so
+    checkpoint import/export is unchanged):
+    - default: head-major HeadProj per q/k/v (fastest measured; docs/perf.md),
+    - ``fused_qkv``: one [D, 3H] GEMM (measured slower at these shapes),
+    - fallback: three nn.Dense (used under the Pallas kernel path).
     """
 
     config: ModelConfig
@@ -328,8 +329,11 @@ class TextLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, hidden_states: jax.Array, attention_bias: jax.Array, *, deterministic=True
+        self, hidden_states: jax.Array, attention_bias: jax.Array,
+        deterministic: bool = True,
     ) -> jax.Array:
+        # deterministic is positional-or-keyword so nn.remat can treat it as
+        # a static argument (TwoStreamEncoder passes it positionally)
         cfg = self.config
         attn = SelfAttention(
             cfg,
@@ -363,8 +367,7 @@ class ImageLayer(nn.Module):
         attention_bias: jax.Array,
         txt_embedding: jax.Array,
         txt_mask2: jax.Array,
-        *,
-        deterministic=True,
+        deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
         attn = SelfAttention(

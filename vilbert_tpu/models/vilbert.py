@@ -141,9 +141,11 @@ class TwoStreamEncoder(nn.Module):
         cfg = self.config
         text_cls, image_cls, conn_cls = TextLayer, ImageLayer, ConnectionLayer
         if cfg.remat:
-            text_cls = nn.remat(TextLayer)
-            image_cls = nn.remat(ImageLayer)
-            conn_cls = nn.remat(ConnectionLayer)
+            # deterministic (the trailing arg) must be static under remat:
+            # it drives Python-level dropout branches
+            text_cls = nn.remat(TextLayer, static_argnums=(3,))
+            image_cls = nn.remat(ImageLayer, static_argnums=(5,))
+            conn_cls = nn.remat(ConnectionLayer, static_argnums=(5,))
         self.layer = [
             text_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
         ]
@@ -195,14 +197,14 @@ class TwoStreamEncoder(nn.Module):
         for kind, idx in cfg.encoder_schedule():
             if kind == "t":
                 txt_embedding = self.layer[idx](
-                    txt_embedding, bias_t, deterministic=deterministic
+                    txt_embedding, bias_t, deterministic
                 )
                 if idx < cfg.fixed_t_layer:
                     txt_embedding = jax.lax.stop_gradient(txt_embedding)
             elif kind == "v":
                 image_embedding = self.v_layer[idx](
                     image_embedding, bias_v, txt_embedding, txt_mask2,
-                    deterministic=deterministic,
+                    deterministic,
                 )
                 if idx < cfg.fixed_v_layer:
                     image_embedding = jax.lax.stop_gradient(image_embedding)
@@ -210,7 +212,7 @@ class TwoStreamEncoder(nn.Module):
                 maybe_expand()
                 image_embedding, txt_embedding = self.c_layer[idx](
                     image_embedding, bias_v, txt_embedding, bias_t,
-                    deterministic=deterministic,
+                    deterministic,
                 )
         return txt_embedding, image_embedding
 
