@@ -162,10 +162,14 @@ def bench_e2e(num_workers: int = 0) -> None:
         cfg=ConceptCapSampleConfig(), seed=0, num_workers=num_workers,
     )
 
+    from vilbert_tpu.data.prefetch import compress_for_transfer
+
     model = ViLBERTForPretraining(cfg)
     stream = device_prefetch(
         repeat_iterator(lambda: iter(loader)), size=3,
-        transform=lambda b: {k: v for k, v in b.items() if k != "image_id"},
+        transform=lambda b: compress_for_transfer(
+            {k: v for k, v in b.items() if k != "image_id"}, cfg.compute_dtype
+        ),
     )
     first = next(stream)
     params = jax.jit(model.init)(

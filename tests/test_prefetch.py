@@ -54,3 +54,44 @@ def test_repeat_iterator_restarts_epochs():
     got = [next(it) for _ in range(5)]
     assert got == [1, 2, 1, 2, 1]
     assert len(calls) == 3
+
+
+class TestCompressForTransfer:
+    def test_noop_for_fp32_compute(self):
+        import numpy as np
+
+        from vilbert_tpu.data.prefetch import compress_for_transfer
+
+        b = {"image_feat": np.ones((2, 3, 4), np.float32),
+             "image_target": np.ones((2, 2, 5), np.float32)}
+        out = compress_for_transfer(b, "float32")
+        assert out["image_feat"].dtype == np.float32
+        assert out["image_target"].dtype == np.float32
+
+    def test_bf16_feat_matches_device_cast(self):
+        """Host-side bf16 cast of image_feat == what the device-side compute
+        cast produces anyway (Dense casts inputs to the compute dtype), so
+        the compressed transfer is bit-identical for bf16 compute."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vilbert_tpu.data.prefetch import compress_for_transfer
+
+        rng = np.random.RandomState(0)
+        b = {"image_feat": rng.randn(4, 5, 8).astype(np.float32),
+             "image_target": rng.rand(4, 4, 6).astype(np.float32),
+             "input_ids": np.ones((4, 7), np.int32)}
+        out = compress_for_transfer(b, "bfloat16")
+        assert out["image_feat"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out["image_feat"], dtype=np.float32),
+            np.asarray(jnp.asarray(b["image_feat"]).astype(jnp.bfloat16),
+                       dtype=np.float32),
+        )
+        assert out["image_target"].dtype == np.float16
+        assert out["input_ids"].dtype == np.int32
+        # fp16 keeps soft-label distributions to ~1e-3 relative
+        np.testing.assert_allclose(
+            out["image_target"].astype(np.float32), b["image_target"],
+            rtol=1e-3, atol=1e-6,
+        )

@@ -16,6 +16,30 @@ from typing import Any, Callable, Iterable, Iterator, Optional
 import jax
 
 
+def compress_for_transfer(batch, compute_dtype) -> Any:
+    """Shrink the host->device batch transfer when compute runs in bf16.
+
+    image_feat fp32 -> bf16 is bit-identical to the device-side cast the
+    model performs anyway (flax Dense casts inputs to the compute dtype);
+    image_target fp32 -> fp16 keeps 11 mantissa bits for the soft label
+    distribution / NCE features — no looser than the reference's apex fp16
+    pipeline (model.half(), train_concap.py:504-505). Halves the dominant
+    ~136MB/batch of CC feature traffic; a no-op for fp32 compute (parity).
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    if jnp.dtype(compute_dtype) != jnp.dtype("bfloat16"):
+        return batch
+    out = dict(batch)
+    if "image_feat" in out and out["image_feat"].dtype == np.float32:
+        out["image_feat"] = out["image_feat"].astype(jnp.bfloat16)
+    if "image_target" in out and out["image_target"].dtype == np.float32:
+        out["image_target"] = out["image_target"].astype(np.float16)
+    return out
+
+
 def device_prefetch(
     iterator: Iterable[Any],
     *,

@@ -113,6 +113,9 @@ def masked_image_loss(
         # rows (dynamic shape); we compute all rows and mask the mean —
         # identical expectation, static shapes for XLA.
         assert rng is not None, "visual_target=2 requires an rng"
+        # targets may arrive fp16 (compress_for_transfer); score in the
+        # prediction dtype — TPU matmuls want bf16/fp32, not fp16
+        image_target = image_target.astype(pred.dtype)
         b, r, d = image_target.shape
         n_across = int(num_negative * 0.7)
         n_inside = int(num_negative * 0.3)

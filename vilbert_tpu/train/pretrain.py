@@ -154,7 +154,10 @@ def run_pretraining(
     from jax.sharding import NamedSharding, PartitionSpec
 
     def host_transform(b):
+        from vilbert_tpu.data.prefetch import compress_for_transfer
+
         b = {k: v for k, v in b.items() if k != "image_id"}
+        b = compress_for_transfer(b, model_cfg.compute_dtype)
         if grad_accum > 1:
             # loader batches are [B, ...]; the grad-accum scan consumes
             # [grad_accum, B//grad_accum, ...] microbatches
