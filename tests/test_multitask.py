@@ -163,3 +163,47 @@ def test_pointing_mc_path():
     b = {k: v for k, v in batch.items() if k != "question_id"}
     loss, metrics = loss_fn(params, b, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_bf16_compressed_feature_transfer_trains():
+    """With bf16 compute the per-task prefetch ships features as bf16
+    (compress_for_transfer) — one round-robin iteration must train finite."""
+    from vilbert_tpu.core.config import ModelConfig, OptimizerConfig, TaskConfig
+    from vilbert_tpu.data import synthetic as syn
+    from vilbert_tpu.data.tasks import DataLoader, VQADataset
+    from vilbert_tpu.data.tokenization import HashTokenizer
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=32, max_position_embeddings=32,
+        v_feature_size=16, v_hidden_size=16, v_num_hidden_layers=1,
+        v_num_attention_heads=4, v_intermediate_size=16, v_target_size=5,
+        bi_hidden_size=32, bi_num_attention_heads=4,
+        v_biattention_id=(0,), t_biattention_id=(0,),
+        compute_dtype="bfloat16",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
+    )
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    store = syn.synthetic_store(num_images=8, num_boxes=5, feature_dim=16)
+    tasks = {"TASK1": TaskConfig(
+        task_id=1, name="VQA", type="VL-classifier", loss="BCEWithLogitLoss",
+        process="normal", max_seq_length=10, max_region_num=8, batch_size=4,
+        lr=4e-4, num_labels=7)}
+    ds = VQADataset(syn.vqa_annotations(num=8, num_images=8, num_labels=7), store,
+                    num_labels=7, tokenizer=tok, max_seq_length=10,
+                    max_region_num=8)
+    trainer = MultiTaskTrainer(
+        cfg, tasks, {"TASK1": DataLoader(ds, 4, seed=1)},
+        opt_cfg=OptimizerConfig(learning_rate=1e-4, schedule="constant"),
+        num_labels=7, seed=0,
+    )
+    rt = trainer.tasks["TASK1"]
+    assert rt.compute_dtype == "bfloat16"
+    metrics = trainer.train_iteration(0)
+    import jax.numpy as jnp
+
+    batch = rt.next_batch()
+    assert batch["features"].dtype == jnp.bfloat16
+    assert np.isfinite(float(metrics["TASK1"]["loss"]))

@@ -33,8 +33,10 @@ def compress_for_transfer(batch, compute_dtype) -> Any:
     if jnp.dtype(compute_dtype) != jnp.dtype("bfloat16"):
         return batch
     out = dict(batch)
-    if "image_feat" in out and out["image_feat"].dtype == np.float32:
-        out["image_feat"] = out["image_feat"].astype(jnp.bfloat16)
+    # CC pretraining batch key + the task-batch contract key ("features")
+    for feat_key in ("image_feat", "features"):
+        if feat_key in out and out[feat_key].dtype == np.float32:
+            out[feat_key] = out[feat_key].astype(jnp.bfloat16)
     if "image_target" in out and out["image_target"].dtype == np.float32:
         out["image_target"] = out["image_target"].astype(np.float16)
     return out

@@ -200,6 +200,7 @@ class TaskRuntime:
     prefetch_batches: int = 0
     batch_sharding: Any = None
     batch_placer: Any = None         # multi-host global-batch assembly
+    compute_dtype: str = "float32"   # enables bf16 feature transfer
 
     def next_batch(self):
         if self.iterator is None:
@@ -211,8 +212,11 @@ class TaskRuntime:
                     device_prefetch, repeat_iterator,
                 )
 
+                from vilbert_tpu.data.prefetch import compress_for_transfer
+
                 def drop_qid(b):
-                    return {k: v for k, v in b.items() if k != "question_id"}
+                    b = {k: v for k, v in b.items() if k != "question_id"}
+                    return compress_for_transfer(b, self.compute_dtype)
 
                 self.iterator = device_prefetch(
                     repeat_iterator(lambda: iter(self.loader)),
@@ -397,6 +401,7 @@ class MultiTaskTrainer:
                 prefetch_batches=self.train_cfg.prefetch_batches,
                 batch_sharding=self._batch_sharding,
                 batch_placer=self._batch_placer,
+                compute_dtype=model_cfg.compute_dtype,
             )
         self.controller = MultiTaskStopController(
             list(tasks), train_iter_gap=self.train_cfg.train_iter_gap
