@@ -34,7 +34,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
 
-def bench_vqa_eval() -> None:
+def bench_vqa_eval(no_head_major: bool = False) -> None:
     """Secondary metric (BASELINE.json): VQA eval questions/sec — jitted
     vil_prediction forward at the reference eval shapes (seq 23, 101 regions,
     eval batch 1024 per vilbert_tasks.yml TASK1). Run: python bench.py --eval"""
@@ -46,7 +46,8 @@ def bench_vqa_eval() -> None:
 
     setup_tpu_defaults()
     cfg = ModelConfig.from_json_file(
-        "configs/bert_base_6layer_6conect.json", compute_dtype="bfloat16"
+        "configs/bert_base_6layer_6conect.json", compute_dtype="bfloat16",
+        head_major_attention=not no_head_major,
     )
     model = ViLBERTForVLTasks(cfg)
     B, T, R = 1024, 23, 101
@@ -168,7 +169,8 @@ def bench_e2e(num_workers: int = 0) -> None:
     stream = device_prefetch(
         repeat_iterator(lambda: iter(loader)), size=3,
         transform=lambda b: compress_for_transfer(
-            {k: v for k, v in b.items() if k != "image_id"}, cfg.compute_dtype
+            {k: v for k, v in b.items() if k != "image_id"}, cfg.compute_dtype,
+            nce_targets=cfg.visual_target == 2,
         ),
     )
     first = next(stream)
@@ -318,14 +320,15 @@ if __name__ == "__main__":
                 if flag in sys.argv else default)
 
     if "--eval" in sys.argv:
-        bench_vqa_eval()
+        bench_vqa_eval(no_head_major="--no_head_major" in sys.argv)
     elif "--e2e" in sys.argv:
         bench_e2e(num_workers=_arg("--workers"))
     elif "--large" in sys.argv:
         main(config_json="configs/bert_large_6layer_6conect.json",
              batch=_arg("--batch", 128), remat="--remat" in sys.argv,
              metric_suffix="_large",
-             lm_gather=_arg("--lm_gather", SEQ // 3))
+             lm_gather=_arg("--lm_gather", SEQ // 3),
+             no_head_major="--no_head_major" in sys.argv)
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),

@@ -95,3 +95,18 @@ class TestCompressForTransfer:
             out["image_target"].astype(np.float32), b["image_target"],
             rtol=1e-3, atol=1e-6,
         )
+
+    def test_nce_targets_use_bf16_not_fp16(self):
+        """visual_target=2 targets are raw detector features — fp16 would
+        overflow past 65504; bf16 keeps the fp32 range."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vilbert_tpu.data.prefetch import compress_for_transfer
+
+        b = {"image_target": np.array([[1e5, 2.0]], np.float32)}
+        out = compress_for_transfer(b, "bfloat16", nce_targets=True)
+        assert out["image_target"].dtype == jnp.bfloat16
+        assert np.isfinite(
+            np.asarray(out["image_target"], np.float32)
+        ).all()

@@ -37,6 +37,40 @@ def merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _probs_from_scores(
+    scores: jax.Array,
+    bias: Optional[jax.Array],
+    head_dim: int,
+    *,
+    dropout_rate: float,
+    deterministic: bool,
+    dropout_rng: Optional[jax.Array],
+    fast_dropout: bool,
+) -> jax.Array:
+    """Shared tail of both attention layouts: scale, mask-bias add, softmax,
+    attention-probability dropout. One implementation keeps the head-major
+    and standard paths numerically identical by construction."""
+    sdt = scores.dtype
+    scores = scores * jnp.asarray(1.0 / np.sqrt(head_dim), sdt)
+    if bias is not None:
+        scores = scores + bias.astype(sdt)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when applying attention dropout")
+        if fast_dropout:
+            from vilbert_tpu.ops.dropout import hash_keep_mask
+
+            seed = jax.random.bits(dropout_rng, (), jnp.uint32)
+            keep = hash_keep_mask(probs.shape, dropout_rate, seed)
+        else:
+            keep = jax.random.bernoulli(
+                dropout_rng, 1.0 - dropout_rate, probs.shape
+            )
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return probs
+
+
 def attention_core(
     q: jax.Array,
     k: jax.Array,
@@ -78,29 +112,15 @@ def attention_core(
         # tried and measured SLOWER — 1969 vs 2057 samples/s/chip — the
         # rank-1 score corrections cost more than the bias-add copies.)
         assert q.shape[1] == num_heads, (q.shape, num_heads)
-        sdt = jnp.dtype(softmax_dtype)
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=sdt
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.dtype(softmax_dtype),
         )
-        scores = scores * jnp.asarray(1.0 / np.sqrt(q.shape[-1]), sdt)
-        if bias is not None:
-            scores = scores + bias.astype(sdt)
-        probs = jax.nn.softmax(scores, axis=-1)
-        if dropout_rate > 0.0 and not deterministic:
-            if dropout_rng is None:
-                raise ValueError(
-                    "dropout_rng required when applying attention dropout"
-                )
-            if fast_dropout:
-                from vilbert_tpu.ops.dropout import hash_keep_mask
-
-                seed = jax.random.bits(dropout_rng, (), jnp.uint32)
-                keep = hash_keep_mask(probs.shape, dropout_rate, seed)
-            else:
-                keep = jax.random.bernoulli(
-                    dropout_rng, 1.0 - dropout_rate, probs.shape
-                )
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = _probs_from_scores(
+            scores, bias, q.shape[-1], dropout_rate=dropout_rate,
+            deterministic=deterministic, dropout_rng=dropout_rng,
+            fast_dropout=fast_dropout,
+        )
         probs = probs.astype(v.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         if return_probs:
@@ -132,29 +152,15 @@ def attention_core(
     # reference's fp16 apex path ran softmax in fp16 (model.half(),
     # train_concap.py:504-505), so fp32 stats here are stricter than parity
     # requires; fp32 stays the default and is always used for parity tests.
-    sdt = jnp.dtype(softmax_dtype)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=sdt
+        "bqhd,bkhd->bhqk", qh, kh,
+        preferred_element_type=jnp.dtype(softmax_dtype),
     )
-    scores = scores * jnp.asarray(1.0 / np.sqrt(head_dim), sdt)
-    if bias is not None:
-        scores = scores + bias.astype(sdt)
-    probs = jax.nn.softmax(scores, axis=-1)
-
-    if dropout_rate > 0.0 and not deterministic:
-        if dropout_rng is None:
-            raise ValueError("dropout_rng required when applying attention dropout")
-        if fast_dropout:
-            from vilbert_tpu.ops.dropout import hash_keep_mask
-
-            seed = jax.random.bits(dropout_rng, (), jnp.uint32)
-            keep = hash_keep_mask(probs.shape, dropout_rate, seed)
-        else:
-            keep = jax.random.bernoulli(
-                dropout_rng, 1.0 - dropout_rate, probs.shape
-            )
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-
+    probs = _probs_from_scores(
+        scores, bias, head_dim, dropout_rate=dropout_rate,
+        deterministic=deterministic, dropout_rng=dropout_rng,
+        fast_dropout=fast_dropout,
+    )
     probs = probs.astype(vh.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
     out = ctx.reshape(b, sq, hd)

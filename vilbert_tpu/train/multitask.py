@@ -209,10 +209,8 @@ class TaskRuntime:
                 # (replaces the reference's pin_memory + cuda(non_blocking),
                 # task_utils.py:181-187)
                 from vilbert_tpu.data.prefetch import (
-                    device_prefetch, repeat_iterator,
+                    compress_for_transfer, device_prefetch, repeat_iterator,
                 )
-
-                from vilbert_tpu.data.prefetch import compress_for_transfer
 
                 def drop_qid(b):
                     b = {k: v for k, v in b.items() if k != "question_id"}

@@ -157,7 +157,10 @@ def run_pretraining(
         from vilbert_tpu.data.prefetch import compress_for_transfer
 
         b = {k: v for k, v in b.items() if k != "image_id"}
-        b = compress_for_transfer(b, model_cfg.compute_dtype)
+        b = compress_for_transfer(
+            b, model_cfg.compute_dtype,
+            nce_targets=model_cfg.visual_target == 2,
+        )
         if grad_accum > 1:
             # loader batches are [B, ...]; the grad-accum scan consumes
             # [grad_accum, B//grad_accum, ...] microbatches
@@ -183,7 +186,8 @@ def run_pretraining(
         from vilbert_tpu.parallel.distributed import make_global_batch_fn
 
         # with grad_accum the host_transform has already reshaped to
-        # [grad_accum, B_local, ...]; the per-host shard lives on axis 1
+        # [grad_accum, B_local//grad_accum, ...]; the per-host shard lives
+        # on axis 1
         placer = make_global_batch_fn(
             mesh, batch_axis=1 if grad_accum > 1 else 0
         )
