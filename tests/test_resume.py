@@ -61,3 +61,24 @@ def test_multitask_save_restore(tiny_config, tmp_path):
     # stopped task too (train_iter_gap=4 gating)
     m = t2.train_iteration(4)
     assert np.isfinite(float(m["TASK1"]["loss"]))
+
+
+def test_async_save_round_trips(tmp_path):
+    """wait=False staging: orbax copies device arrays to host before
+    returning (donation-safe), writes in background; wait_until_finished
+    then restore must round-trip exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vilbert_tpu.core.checkpoint import CheckpointManager
+
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "step": jnp.int32(7)}
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(3, state, host_state={"epoch": 1}, wait=False)
+    mngr.mngr.wait_until_finished()
+    template = {"w": jnp.zeros((3, 4)), "step": jnp.int32(0)}
+    restored, host, step = mngr.restore(template)
+    assert step == 3 and host == {"epoch": 1}
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(state["w"]))
+    mngr.close()

@@ -169,7 +169,9 @@ def main(argv=None) -> None:
 
         def ckpt_hook(step, state, metrics):
             if (step + 1) % args.checkpoint_every == 0:
-                mngr.save(step + 1, state)
+                # async: the disk write overlaps the next steps (orbax
+                # stages device arrays to host before returning)
+                mngr.save(step + 1, state, wait=False)
 
         hooks.append(ckpt_hook)
 
@@ -182,6 +184,8 @@ def main(argv=None) -> None:
         ),
         hooks=hooks,
     )
+    if args.checkpoint_every:
+        mngr.mngr.wait_until_finished()  # drain pending async saves
 
     from vilbert_tpu.core.checkpoint import save_params
 

@@ -426,7 +426,9 @@ class MultiTaskTrainer:
             self._ckpt = CheckpointManager(self.train_cfg.checkpoint_dir)
         return self._ckpt
 
-    def save_checkpoint(self, step: Optional[int] = None) -> None:
+    def save_checkpoint(
+        self, step: Optional[int] = None, *, wait: bool = True
+    ) -> None:
         """Full training state: params/opt/step + host state (controllers,
         logger, epoch) — the reference's pytorch_ckpt_latest.tar equivalent
         (train_tasks.py:612-635)."""
@@ -441,7 +443,7 @@ class MultiTaskTrainer:
             host["logger"] = self.metrics_logger.state_dict()
         self._ckpt_manager().save(
             step if step is not None else self.global_step, self.state,
-            host_state=host,
+            host_state=host, wait=wait,
         )
 
     def restore_checkpoint(
@@ -617,8 +619,14 @@ class MultiTaskTrainer:
                 # (train_tasks.py:607-610)
                 self.controller.reset_all()
             if self.train_cfg.checkpoint_every:
-                self.save_checkpoint()
+                # async: orbax stages device arrays to host synchronously,
+                # the disk write proceeds in background while the next epoch
+                # trains (the reference blocks on multi-GB torch.save per
+                # epoch, train_tasks.py:612-635)
+                self.save_checkpoint(wait=False)
             logger.info(
                 "epoch %d done in %.1fs", epoch, time.perf_counter() - t0
             )
+        if self._ckpt is not None:
+            self._ckpt.mngr.wait_until_finished()
         return self.state
