@@ -20,6 +20,9 @@ def main() -> None:
     p.add_argument("--lm_gather", type=int, default=12)
     p.add_argument("--out", default="/tmp/vilbert_profile")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--config", default="",
+                   help="model config JSON (default: headline bench config)")
+    p.add_argument("--batch", type=int, default=0)
     args = p.parse_args()
 
     import jax
@@ -34,10 +37,15 @@ def main() -> None:
     from vilbert_tpu.utils.cache import setup_tpu_defaults
 
     setup_tpu_defaults()
-    cfg = bench._bench_model_cfg()
+    if args.config:
+        from vilbert_tpu.core.config import ModelConfig
+
+        cfg = ModelConfig.from_json_file(args.config, compute_dtype="bfloat16")
+    else:
+        cfg = bench._bench_model_cfg()
     model = ViLBERTForPretraining(cfg)
     rng = np.random.RandomState(0)
-    B, T, R = bench.BATCH, bench.SEQ, bench.REGIONS
+    B, T, R = args.batch or bench.BATCH, bench.SEQ, bench.REGIONS
     batch = {
         "input_ids": rng.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
         "image_feat": rng.randn(B, R, 2048).astype(np.float32),
