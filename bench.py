@@ -170,7 +170,7 @@ def bench_e2e(num_workers: int = 0) -> None:
         repeat_iterator(lambda: iter(loader)), size=3,
         transform=lambda b: compress_for_transfer(
             {k: v for k, v in b.items() if k != "image_id"}, cfg.compute_dtype,
-            nce_targets=cfg.visual_target == 2,
+            raw_feature_targets=cfg.visual_target != 0,
         ),
     )
     first = next(stream)

@@ -96,16 +96,17 @@ class TestCompressForTransfer:
             rtol=1e-3, atol=1e-6,
         )
 
-    def test_nce_targets_use_bf16_not_fp16(self):
-        """visual_target=2 targets are raw detector features — fp16 would
-        overflow past 65504; bf16 keeps the fp32 range."""
+    def test_raw_feature_targets_use_bf16_not_fp16(self):
+        """visual_target=1 (MSE) and =2 (NCE) targets are raw detector
+        features — fp16 would overflow past 65504; bf16 keeps the fp32
+        range."""
         import jax.numpy as jnp
         import numpy as np
 
         from vilbert_tpu.data.prefetch import compress_for_transfer
 
         b = {"image_target": np.array([[1e5, 2.0]], np.float32)}
-        out = compress_for_transfer(b, "bfloat16", nce_targets=True)
+        out = compress_for_transfer(b, "bfloat16", raw_feature_targets=True)
         assert out["image_target"].dtype == jnp.bfloat16
         assert np.isfinite(
             np.asarray(out["image_target"], np.float32)

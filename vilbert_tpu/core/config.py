@@ -114,6 +114,11 @@ class ModelConfig:
         assert self.v_hidden_size % self.v_num_attention_heads == 0
         assert self.bi_hidden_size % self.bi_num_attention_heads == 0
         assert self.fusion_method in ("sum", "mul")
+        # fail at construction, not as an opaque jnp.dtype error at trace time
+        assert self.softmax_dtype in ("auto", "float32", "bfloat16"), (
+            f"softmax_dtype must be 'auto', 'float32' or 'bfloat16', "
+            f"got {self.softmax_dtype!r}"
+        )
 
     # -- constructors -------------------------------------------------------
 

@@ -16,18 +16,20 @@ from typing import Any, Callable, Iterable, Iterator, Optional
 import jax
 
 
-def compress_for_transfer(batch, compute_dtype, nce_targets: bool = False) -> Any:
+def compress_for_transfer(
+    batch, compute_dtype, raw_feature_targets: bool = False
+) -> Any:
     """Shrink the host->device batch transfer when compute runs in bf16.
 
     image_feat fp32 -> bf16 is bit-identical to the device-side cast the
     model performs anyway (flax Dense casts inputs to the compute dtype);
     image_target fp32 -> fp16 keeps 11 mantissa bits for the soft label
     distribution — no looser than the reference's apex fp16 pipeline
-    (model.half(), train_concap.py:504-505). With ``nce_targets``
-    (visual_target=2) image_target holds raw detector features whose
-    magnitude can exceed the fp16 range, so bf16 (full fp32 range) is used
-    instead. Halves the dominant ~136MB/batch of CC feature traffic; a
-    no-op for fp32 compute (parity).
+    (model.half(), train_concap.py:504-505). With ``raw_feature_targets``
+    (visual_target != 0: MSE regression or NCE) image_target holds raw
+    detector features whose magnitude can exceed the fp16 max (65504), so
+    bf16 (full fp32 range) is used instead. Halves the dominant
+    ~136MB/batch of CC feature traffic; a no-op for fp32 compute (parity).
     """
     import numpy as np
 
@@ -41,7 +43,7 @@ def compress_for_transfer(batch, compute_dtype, nce_targets: bool = False) -> An
         if feat_key in out and out[feat_key].dtype == np.float32:
             out[feat_key] = out[feat_key].astype(jnp.bfloat16)
     if "image_target" in out and out["image_target"].dtype == np.float32:
-        tgt_dtype = jnp.bfloat16 if nce_targets else np.float16
+        tgt_dtype = jnp.bfloat16 if raw_feature_targets else np.float16
         out["image_target"] = out["image_target"].astype(tgt_dtype)
     return out
 

@@ -80,14 +80,21 @@ def make_global_batch(
 
     Single-process: equivalent to a sharded device_put (same code path keeps
     tests honest)."""
-    def place(x):
+    def place(path, x):
         x = np.asarray(x)
+        if x.ndim <= batch_axis:
+            raise ValueError(
+                f"make_global_batch(batch_axis={batch_axis}): leaf "
+                f"{jax.tree_util.keystr(path)} has shape {x.shape} with only "
+                f"{x.ndim} axes — every leaf must carry the per-host batch "
+                f"shard on axis {batch_axis} (reshape it before placement)"
+            )
         spec_axes = [None] * x.ndim
         spec_axes[batch_axis] = axis
         sharding = NamedSharding(mesh, P(*spec_axes))
         return jax.make_array_from_process_local_data(sharding, x)
 
-    return jax.tree.map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def make_global_batch_fn(mesh: Mesh, axis: str = "data", batch_axis: int = 0):

@@ -159,7 +159,7 @@ def run_pretraining(
         b = {k: v for k, v in b.items() if k != "image_id"}
         b = compress_for_transfer(
             b, model_cfg.compute_dtype,
-            nce_targets=model_cfg.visual_target == 2,
+            raw_feature_targets=model_cfg.visual_target != 0,
         )
         if grad_accum > 1:
             # loader batches are [B, ...]; the grad-accum scan consumes
