@@ -51,12 +51,8 @@ def test_external_lr_group_ratios(tiny_config):
     np.testing.assert_allclose(float(schedule(0)), 2e-5, rtol=1e-6)
 
 
-def test_multitask_lr_follows_iterations(tiny_config):
-    """Two tasks, warmup over iterations: both tasks' updates in iteration k
-    use schedule(k); the per-task optimizer step count does not drive LR."""
-    import jax
-
-    from vilbert_tpu.core.config import OptimizerConfig, TaskConfig
+def _two_task_trainer(tiny_config, task_keys, opt_cfg):
+    from vilbert_tpu.core.config import TaskConfig
     from vilbert_tpu.data import synthetic as syn
     from vilbert_tpu.data.tasks import DataLoader, VQADataset
     from vilbert_tpu.data.tokenization import HashTokenizer
@@ -68,29 +64,44 @@ def test_multitask_lr_follows_iterations(tiny_config):
                                 feature_dim=cfg.v_feature_size)
     mk = dict(tokenizer=tok, max_seq_length=10, max_region_num=6)
     tasks, loaders = {}, {}
-    for i, key in enumerate(["TASK1", "TASK15"]):
+    for i, key in enumerate(task_keys):
         tasks[key] = TaskConfig(
-            task_id=i + 1, name="VQA" if key == "TASK1" else "GenomeQA",
-            type="VL-classifier",
+            task_id=i + 1, name=f"T{i}", type="VL-classifier",
             loss="BCEWithLogitLoss", max_seq_length=10, max_region_num=6,
             batch_size=4, lr=1e-3, num_labels=13, num_epoch=2,
         )
         ds = VQADataset(syn.vqa_annotations(num=8, num_images=8), store,
                         num_labels=13, **mk)
         loaders[key] = DataLoader(ds, 4, seed=i)
-    trainer = MultiTaskTrainer(
-        cfg, tasks, loaders,
-        opt_cfg=OptimizerConfig(learning_rate=1e-3, schedule="warmup_linear",
-                                warmup_proportion=0.5),
-        num_labels=13, seed=0,
-    )
-    # iteration 0: schedule(0) == 0 -> NO param movement despite 2 optimizer
-    # steps (one per task)
-    before = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"]).copy()
-    trainer.train_iteration(0)
-    after0 = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"])
-    np.testing.assert_array_equal(before, after0)
-    # iteration 1: schedule(1) > 0 -> params move
-    trainer.train_iteration(1)
-    after1 = np.asarray(trainer.state.params["bert"]["t_pooler"]["dense"]["kernel"])
-    assert np.abs(after1 - after0).max() > 0
+    return MultiTaskTrainer(cfg, tasks, loaders, opt_cfg=opt_cfg,
+                            num_labels=13, seed=0)
+
+
+def test_multitask_lr_follows_iterations(tiny_config):
+    """LR comes from the iteration counter, with the reference's
+    first-task quirk (train_tasks.py:548-556): in iteration i the first
+    task updates at schedule(i), later tasks at schedule(i+1)."""
+    from vilbert_tpu.core.config import OptimizerConfig
+
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, schedule="warmup_linear",
+                              warmup_proportion=0.5)
+
+    def pooler(t):
+        return np.asarray(
+            t.state.params["bert"]["t_pooler"]["dense"]["kernel"]
+        ).copy()
+
+    # single task: iteration 0 runs at schedule(0) == 0 -> NO movement
+    t1 = _two_task_trainer(tiny_config, ["TASK1"], opt_cfg)
+    before = pooler(t1)
+    t1.train_iteration(0)
+    np.testing.assert_array_equal(before, pooler(t1))
+    t1.train_iteration(1)  # schedule(1) > 0 -> params move
+    assert np.abs(pooler(t1) - before).max() > 0
+
+    # two tasks: the SECOND task of iteration 0 already sees schedule(1) > 0
+    # (the warmup scheduler stepped right after the first task's update)
+    t2 = _two_task_trainer(tiny_config, ["TASK1", "TASK15"], opt_cfg)
+    before = pooler(t2)
+    t2.train_iteration(0)
+    assert np.abs(pooler(t2) - before).max() > 0

@@ -22,6 +22,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default="configs/bert_base_6layer_6conect.json")
     p.add_argument("--train_store", default="", help=".vfr/.lmdb region features")
     p.add_argument("--captions", default="", help="caption json {image_id: text}")
+    p.add_argument("--val_store", default="",
+                   help="validation region features (enables the per-epoch "
+                        "3-loss validation pass, reference "
+                        "train_concap.py:608-654)")
+    p.add_argument("--val_captions", default="", help="validation caption json")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="steps between validation passes (0: once at end; "
+                        "with --num_epochs, defaults to once per epoch)")
     p.add_argument("--vocab", default="", help="WordPiece vocab.txt")
     p.add_argument("--from_pretrained", default="", help="torch .bin or .npz params")
     p.add_argument("--output_dir", default="checkpoints/concap")
@@ -105,15 +113,24 @@ def main(argv=None) -> None:
     )
     tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
 
+    val_store = val_captions = None
     if args.synthetic:
         store = InMemoryFeatureStore.synthetic(num_images=256, num_boxes=36)
         captions = {k: f"a synthetic caption about image {k}" for k in store.keys()}
         dataset_size = 256
+        val_store = InMemoryFeatureStore.synthetic(num_images=64, num_boxes=36)
+        val_captions = {
+            k: f"a synthetic validation caption {k}" for k in val_store.keys()
+        }
     else:
         assert args.train_store and args.captions, "--train_store/--captions required"
         store = open_feature_store(args.train_store)
         captions = json.load(open(args.captions))
         dataset_size = len(store.keys())
+        if args.val_store:
+            assert args.val_captions, "--val_captions required with --val_store"
+            val_store = open_feature_store(args.val_store)
+            val_captions = json.load(open(args.val_captions))
 
     loader = ConceptCapLoader(
         store, captions, tokenizer,
@@ -128,13 +145,33 @@ def main(argv=None) -> None:
         num_workers=args.num_workers,
     )
 
+    val_loader = None
+    if val_store is not None:
+        val_loader = ConceptCapLoader(
+            val_store, val_captions, tokenizer,
+            batch_size=args.batch_size // args.num_shards,
+            cfg=ConceptCapSampleConfig(
+                seq_len=args.seq_len, region_len=args.region_len,
+                feature_dim=model_cfg.v_feature_size,
+                target_dim=model_cfg.v_target_size,
+                visual_target=args.visual_target, objective=args.objective,
+            ),
+            seed=args.seed + 1,
+            shard_id=args.shard_id, num_shards=args.num_shards,
+        )
+
     steps_per_epoch = max(dataset_size // args.batch_size, 1)
     num_steps = args.num_steps or steps_per_epoch * args.num_epochs
+    val_every = args.val_every
+    if not val_every and not args.num_steps:
+        # per-epoch validation, like the reference epoch loop
+        val_every = steps_per_epoch
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate,
         warmup_proportion=args.warmup_proportion,
         schedule="warmup_linear",
         beta2=0.98,  # reference AdamW betas for concap (train_concap.py:467)
+        eps=1e-8,    # reference --adam_epsilon default (train_concap.py:225)
         pretrained_lr_scale=args.pretrained_lr_scale,
     )
 
@@ -182,6 +219,7 @@ def main(argv=None) -> None:
         lm_gather=(
             args.seq_len // 3 if args.lm_gather == -1 else args.lm_gather
         ),
+        val_loader=val_loader, val_every=val_every,
         hooks=hooks,
     )
     if args.checkpoint_every:

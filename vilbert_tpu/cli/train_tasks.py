@@ -140,6 +140,9 @@ def main(argv=None) -> None:
         schedule=args.lr_scheduler,
         warmup_proportion=args.warmup_proportion,
         head_lr=args.head_lr,
+        # reference multi-task AdamW runs WITHOUT bias correction
+        # (train_tasks.py:425: AdamW(..., correct_bias=False))
+        correct_bias=False,
     )
     # data-parallel mesh over every device of every process; None keeps the
     # single-chip fast path (no resharding overhead)

@@ -273,6 +273,11 @@ class OptimizerConfig:
     beta2: float = 0.999
     eps: float = 1e-6
     weight_decay: float = 0.01
+    # Adam bias correction. The reference multi-task trainer runs
+    # AdamW(correct_bias=False) (train_tasks.py:425) — MultiTaskTrainer's
+    # default opt config mirrors that; CC pretraining keeps the default True
+    # (train_concap.py:466 leaves pytorch_transformers' default).
+    correct_bias: bool = True
     warmup_proportion: float = 0.1
     # per-iteration: "warmup_linear" | "warmup_constant" | "constant";
     # epoch-composed (reference train_tasks.py:440-457, require external_lr):

@@ -217,7 +217,11 @@ def import_torch_state_dict(
         if fkey not in target_flat:
             unexpected.append(tkey)
             continue
-        value = np.asarray(arr, dtype=dtype)
+        # np.array (not asarray): own the memory. state_dicts produced via
+        # torch_tensor.numpy() are VIEWS of live torch storage — without a
+        # copy, later in-place torch updates would silently mutate the
+        # imported params (and the views keep the torch model alive).
+        value = np.array(arr, dtype=dtype)
         if _needs_transpose(tkey, family):
             value = value.T
         if value.shape != tuple(np.shape(target_flat[fkey])):

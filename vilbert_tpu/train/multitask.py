@@ -251,11 +251,14 @@ class MultiTaskTrainer:
         num_train_epochs: int = 0,
         model_family: str = "vilbert",
         from_pretrained: str = "",
+        dropout_prob: float = 0.1,
     ):
         self.model_cfg = model_cfg
         self.model_family = model_family
         if model_family == "vilbert":
-            self.model = ViLBERTForVLTasks(model_cfg, num_labels=num_labels)
+            self.model = ViLBERTForVLTasks(
+                model_cfg, num_labels=num_labels, dropout_prob=dropout_prob
+            )
         elif model_family in ("basebert", "baseline"):
             # reference --baseline single-stream model (train_tasks.py:232-237)
             from vilbert_tpu.models.basebert import BaseBertForVLTasks
@@ -271,11 +274,14 @@ class MultiTaskTrainer:
         self.grad_accum = max(self.train_cfg.gradient_accumulation_steps, 1)
         val_loaders = val_loaders or {}
 
-        # per-task LR -> base lr + loss scales (train_tasks.py:239-251)
+        # per-task LR -> base lr + loss scales (train_tasks.py:239-251).
+        # default optimizer mirrors the reference multi-task AdamW:
+        # correct_bias=False (train_tasks.py:425)
         base_lr = min(t.lr for t in tasks.values())
         self.loss_scales = {k: t.lr / base_lr for k, t in tasks.items()}
-        self.opt_cfg = (opt_cfg or OptimizerConfig()).__class__(
-            **{**(opt_cfg or OptimizerConfig()).__dict__, "learning_rate": base_lr}
+        opt_cfg = opt_cfg or OptimizerConfig(correct_bias=False)
+        self.opt_cfg = opt_cfg.__class__(
+            **{**opt_cfg.__dict__, "learning_rate": base_lr}
         )
 
         # iterations per epoch: the MAX of per-task
@@ -384,6 +390,21 @@ class MultiTaskTrainer:
         self.tasks: Dict[str, TaskRuntime] = {}
         for key, tcfg in tasks.items():
             loss_fn = make_task_loss_fn(self.model, model_cfg, tcfg)
+            # per-task optimizer with this task's participation mask: params
+            # outside the task's backward graph (other heads, poolers for
+            # V-logit) get NO moment update / weight decay from this task's
+            # step — torch skips grad-None params (train/optim.py
+            # task_update_mask). State-compatible with self.tx.
+            task_mask = None
+            if self.opt_cfg.name == "adamw" and model_family == "vilbert":
+                from vilbert_tpu.train.optim import task_update_mask
+
+                task_mask = task_update_mask(init_params, tcfg.type)
+            task_tx, _ = build_optimizer(
+                self.opt_cfg, init_params, total_iterations,
+                freeze_prefix=self.train_cfg.freeze_prefix,
+                external_lr=True, update_mask=task_mask,
+            )
             self.tasks[key] = TaskRuntime(
                 key=key,
                 cfg=tcfg,
@@ -391,7 +412,7 @@ class MultiTaskTrainer:
                 val_loader=val_loaders.get(key),
                 loss_scale=self.loss_scales[key],
                 step_fn=make_train_step(
-                    loss_fn, self.tx, loss_scale=self.loss_scales[key],
+                    loss_fn, task_tx, loss_scale=self.loss_scales[key],
                     external_lr=True, grad_accum=self.grad_accum,
                 ),
                 eval_fn=make_task_eval_fn(self.model, model_cfg, tcfg),
@@ -476,13 +497,25 @@ class MultiTaskTrainer:
     def train_iteration(self, iter_id: int) -> Dict[str, Dict[str, float]]:
         """One round-robin pass over all tasks (train_tasks.py:513-570)."""
         out = {}
-        # LR computed from the iteration counter and shared by every task
-        # update of this iteration (reference warmup advances once per
-        # iteration, train_tasks.py:548-559)
-        lr = jnp.asarray(float(self.schedule(self.global_step)), jnp.float32)
+        # LR comes from the iteration counter, not the per-task optimizer
+        # step count. Reference quirk reproduced exactly: the warmup
+        # scheduler steps right after the FIRST trained task's
+        # optimizer.step (train_tasks.py:548-556), so within iteration i the
+        # first task updates at λ(i) and every later task at λ(i+1).
+        lr_first = jnp.asarray(
+            float(self.schedule(self.global_step)), jnp.float32
+        )
+        if hasattr(self.schedule, "mid_iteration"):
+            lr_rest_f = self.schedule.mid_iteration(self.global_step)
+        else:
+            lr_rest_f = self.schedule(self.global_step + 1)
+        lr_rest = jnp.asarray(float(lr_rest_f), jnp.float32)
+        first_task = True
         for key, task in self.tasks.items():
             if not self.controller.should_train(key, iter_id):
                 continue
+            lr = lr_first if first_task else lr_rest
+            first_task = False
             if self.grad_accum > 1:
                 # one iteration = ga divided batches scanned inside the step
                 # (train_step grad_accum contract); loaders were built with

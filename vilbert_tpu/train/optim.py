@@ -15,7 +15,7 @@ Replaces the reference's optimizer stack (SURVEY.md §2.5/§2.6):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Mapping, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,14 @@ HEAD_PREFIXES = (
     "vil_tri_dense",
 )
 
-#: no weight decay for biases and LayerNorm params (train_tasks.py:399-411)
-NO_DECAY_SUFFIXES = ("bias", "LayerNorm.weight", "LayerNorm1.weight",
-                     "LayerNorm2.weight")
+#: no weight decay for params whose name CONTAINS one of these — the
+#: reference's substring check (no_decay = ["bias", "LayerNorm.bias",
+#: "LayerNorm.weight"], train_tasks.py:379 / train_concap.py:399, applied
+#: via ``any(nd in key)``). NOTE the co-attention BiOutput's LayerNorm1 /
+#: LayerNorm2 weights do NOT match "LayerNorm.weight" as a substring, so
+#: the reference DOES weight-decay them — reproduced faithfully here.
+#: ("LayerNorm.bias" is subsumed by "bias".)
+NO_DECAY_SUBSTRINGS = ("bias", "LayerNorm.weight")
 
 
 def path_str(path: Tuple[Any, ...]) -> str:
@@ -47,15 +52,20 @@ def path_str(path: Tuple[Any, ...]) -> str:
 def warmup_linear_schedule(
     base_lr: float, total_steps: int, warmup_proportion: float
 ) -> optax.Schedule:
-    """lr ramps 0→base over warmup, then linearly decays to 0 at total_steps
-    (pytorch_transformers WarmupLinearSchedule semantics)."""
-    warmup = max(int(total_steps * warmup_proportion), 1)
+    """lr ramps 0→base over warmup, then linearly decays to 0 at total_steps.
+
+    Exact pytorch_transformers ``WarmupLinearSchedule`` lambda: the warmup
+    threshold is a FLOAT (``warmup_proportion * t_total`` is passed through
+    un-rounded, reference train_concap.py:472-476, train_tasks.py:430-436):
+    ``step/max(1, w)`` if ``step < w`` else ``max(0, (T-step)/max(1, T-w))``.
+    """
+    warmup = float(total_steps * warmup_proportion)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = step / warmup
+        warm = step / max(warmup, 1.0)
         decay = jnp.maximum(
-            (total_steps - step) / jnp.maximum(total_steps - warmup, 1), 0.0
+            (total_steps - step) / max(total_steps - warmup, 1.0), 0.0
         )
         return base_lr * jnp.where(step < warmup, warm, decay)
 
@@ -65,13 +75,73 @@ def warmup_linear_schedule(
 def warmup_constant_schedule(
     base_lr: float, total_steps: int, warmup_proportion: float
 ) -> optax.Schedule:
-    warmup = max(int(total_steps * warmup_proportion), 1)
+    """pytorch_transformers ``WarmupConstantSchedule``: ramp then hold
+    (float warmup threshold, see warmup_linear_schedule)."""
+    warmup = float(total_steps * warmup_proportion)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        return base_lr * jnp.where(step < warmup, step / warmup, 1.0)
+        return base_lr * jnp.where(
+            step < warmup, step / max(warmup, 1.0), 1.0
+        )
 
     return fn
+
+
+class ScaleByPytorchAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def scale_by_pytorch_adam(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+    correct_bias: bool = True,
+) -> optax.GradientTransformation:
+    """Adam moment scaling with pytorch_transformers.AdamW semantics.
+
+    The reference optimizer (train_tasks.py:425, train_concap.py:466) is
+    pytorch_transformers' AdamW, whose update is
+
+        m_t / (sqrt(v_t) + eps) * [sqrt(1-b2^t) / (1-b1^t)  if correct_bias]
+
+    This differs from ``optax.scale_by_adam`` in two load-bearing ways:
+    - eps is added to sqrt(v_t) BEFORE the bias correction (optax corrects
+      the moments first and adds eps to sqrt(nu_hat)),
+    - ``correct_bias=False`` (reference multi-task training,
+      train_tasks.py:425: ``AdamW(..., correct_bias=False)``) drops the
+      correction entirely — the first steps are substantially smaller than
+      bias-corrected Adam's, which shapes early training dynamics.
+    """
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        return ScaleByPytorchAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros()
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        )
+        count = state.count + 1
+        if correct_bias:
+            t = count.astype(jnp.float32)
+            scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        else:
+            scale = 1.0
+        out = jax.tree.map(
+            lambda m, v: scale * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return out, ScaleByPytorchAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 #: schedules that compose a per-iteration warmup with an epoch-level scheduler
@@ -111,20 +181,24 @@ class HostLRScheduler:
         self.kind = kind
         self.base_lr = base_lr
         self.total_steps = max(total_steps, 1)
-        self.warmup_steps = max(int(self.total_steps * warmup_proportion), 1)
+        # float threshold, exactly as the reference passes it
+        # (warmpu_steps = args.warmup_proportion * num_train_optimization_steps,
+        # train_tasks.py:430)
+        self.warmup_steps = float(self.total_steps * warmup_proportion)
         self.decay_factor = 1.0
         # ReduceLROnPlateau state (torch defaults: threshold_mode="rel")
         self.plateau_best = -float("inf")
         self.plateau_bad = 0
         self.plateau_cooldown = 0
 
-    def __call__(self, step) -> float:
+    def _warm(self, step: float) -> float:
+        return min(step / max(self.warmup_steps, 1.0), 1.0)
+
+    def _tail(self, step: float) -> float:
         import math
 
-        step = float(step)
-        warm = min(step / self.warmup_steps, 1.0)
         if self.kind in ("mannul", "automatic"):
-            return self.base_lr * warm * self.decay_factor
+            return self.decay_factor
         # cosine family: the annealer steps once per iteration past warmup
         # with T_max/T_0 = total_steps (train_tasks.py:444-452,:571-573) — so
         # t lags ``step`` by the warmup and the curve never quite reaches 0
@@ -132,7 +206,19 @@ class HostLRScheduler:
         T = float(self.total_steps)
         if self.kind == "cosine_warm":
             t = t % T
-        return self.base_lr * warm * 0.5 * (1.0 + math.cos(math.pi * min(t / T, 1.0)))
+        return 0.5 * (1.0 + math.cos(math.pi * min(t / T, 1.0)))
+
+    def __call__(self, step) -> float:
+        step = float(step)
+        return self.base_lr * self._warm(step) * self._tail(step)
+
+    def mid_iteration(self, step) -> float:
+        """LR seen by the non-first tasks of iteration ``step``: the warmup
+        scheduler has already stepped mid-iteration after the first task's
+        optimizer.step (train_tasks.py:548-556), while the epoch/cosine
+        scheduler steps only at iteration/epoch end (:571-573,:595-605)."""
+        step = float(step)
+        return self.base_lr * self._warm(step + 1.0) * self._tail(step)
 
     def on_epoch_end(self, epoch: int, val_score_sum: Optional[float] = None):
         if self.kind == "mannul":
@@ -180,20 +266,150 @@ def make_schedule(cfg: OptimizerConfig, base_lr: float, total_steps: int):
 def _decay_mask(params) -> Any:
     def mask(path, _):
         p = path_str(path)
-        return not any(p.endswith(sfx) for sfx in NO_DECAY_SUFFIXES)
+        return not any(s in p for s in NO_DECAY_SUBSTRINGS)
 
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+#: top-level head modules of ViLBERTForVLTasks (flax param keys). "cls" (the
+#: pretraining heads) is computed in some forwards but consumed by no task
+#: loss, so it participates in NO task's update.
+ALL_HEAD_MODULES = (
+    "vil_prediction", "vil_prediction_gqa", "vil_binary_prediction",
+    "vil_logit_dense", "vil_tri_dense", "vision_logit_dense",
+    "linguisic_logit_dense", "cls",
+)
+
+#: the head module each task type backpropagates through
+#: (train/multitask.HEAD_FOR_TYPE, mapped to param-module names)
+HEAD_MODULE_FOR_TYPE = {
+    "VL-classifier": "vil_prediction",
+    "VL-classifier-GQA": "vil_prediction_gqa",
+    "VL-logit": "vil_logit_dense",
+    "V-logit": "vision_logit_dense",
+    "V-logit-mc": "vision_logit_dense",
+    "VL-binary-classifier": "vil_binary_prediction",
+    "VL-tri-classifier": "vil_tri_dense",
+}
+
+
+def task_update_mask(params, task_type: str) -> Any:
+    """Which params PARTICIPATE in a task's optimizer step.
+
+    The reference runs one optimizer.step() per task, and torch skips params
+    whose .grad is None — i.e. everything outside that task's backward graph
+    (other tasks' heads; the poolers for V-logit tasks, whose loss reads
+    sequence_v only). Those params get NO moment update and NO weight decay
+    from other tasks' steps (train_tasks.py:541-543 with modern torch
+    zero_grad(set_to_none=True) semantics). Without this mask, unused heads
+    drift between their tasks' turns: stale Adam momentum keeps moving them
+    and weight decay keeps shrinking them — measurably faster head training
+    than the reference (caught by tests/test_training_parity.py).
+    """
+    used = HEAD_MODULE_FOR_TYPE[task_type]
+    pooled_unused = task_type in ("V-logit", "V-logit-mc")
+
+    def mask(path, _):
+        p = path_str(path)
+        top = p.split(".", 1)[0]
+        if top in ALL_HEAD_MODULES:
+            return top == used
+        if pooled_unused and (
+            p.startswith("bert.t_pooler") or p.startswith("bert.v_pooler")
+        ):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def external_adamw(
+    cfg: OptimizerConfig, params, *, ratios, update_mask=None
+) -> optax.GradientTransformation:
+    """External-LR AdamW (pytorch_transformers semantics) with per-param lr
+    RATIOS and an optional participation mask.
+
+    update_p = -ratio_p * [adam_scale * m/(sqrt(v)+eps) + wd_p * p]  (masked)
+
+    The caller multiplies updates by the host-side schedule value
+    (make_train_step(external_lr=True)). Masked params keep their moments
+    untouched — matching torch's 'if p.grad is None: continue' for params
+    outside the task's backward graph. ratio 0.0 (frozen) also skips moment
+    updates (frozen params are excluded from the reference's param groups
+    entirely, train_tasks.py:391-398).
+
+    State is (count, mu, nu) regardless of the mask, so per-task
+    transformations built with different masks share one TrainState.
+
+    NOTE: with correct_bias=True the shared scalar ``count`` advances on
+    every step while torch keeps per-param counts; exact only for
+    correct_bias=False (the reference multi-task setting) or full masks.
+    """
+    decay = _decay_mask(params)
+    if update_mask is None:
+        update_mask = jax.tree.map(lambda _: True, params)
+    participate = jax.tree.map(
+        lambda use, r: bool(use) and r != 0.0, update_mask, ratios
+    )
+    b1, b2, eps, wd = cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay
+
+    def init_fn(params_):
+        def zeros():
+            return jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params_
+            )
+
+        return ScaleByPytorchAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros()
+        )
+
+    def update_fn(updates, state, params_=None):
+        mu = jax.tree.map(
+            lambda use, m, g: b1 * m + (1.0 - b1) * g if use else m,
+            participate, state.mu, updates,
+        )
+        nu = jax.tree.map(
+            lambda use, v, g: b2 * v + (1.0 - b2) * jnp.square(g) if use else v,
+            participate, state.nu, updates,
+        )
+        count = state.count + 1
+        if cfg.correct_bias:
+            t = count.astype(jnp.float32)
+            scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        else:
+            scale = 1.0
+
+        def upd(use, ratio, dec, m, v, p):
+            if not use:
+                return jnp.zeros(p.shape, jnp.float32)
+            u = scale * m / (jnp.sqrt(v) + eps)
+            if wd and dec:
+                u = u + wd * p.astype(jnp.float32)
+            return -ratio * u
+
+        out = jax.tree.map(
+            upd, participate, ratios, decay, mu, nu, params_
+        )
+        return out, ScaleByPytorchAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _base_transform(cfg: OptimizerConfig, schedule, params) -> optax.GradientTransformation:
     if cfg.name == "adamw":
-        return optax.adamw(
-            schedule,
-            b1=cfg.beta1,
-            b2=cfg.beta2,
-            eps=cfg.eps,
-            weight_decay=cfg.weight_decay,
-            mask=_decay_mask(params),
+        # pytorch_transformers.AdamW-exact chain (see scale_by_pytorch_adam);
+        # decoupled weight decay is p -= lr*(adam_update + wd*p), matching
+        # the reference to second order in lr (the reference decays the
+        # post-adam-update params; the difference is O(lr^2 * wd))
+        return optax.chain(
+            scale_by_pytorch_adam(
+                b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                correct_bias=cfg.correct_bias,
+            ),
+            optax.add_decayed_weights(
+                cfg.weight_decay, mask=_decay_mask(params)
+            ),
+            optax.scale_by_learning_rate(schedule),
         )
     if cfg.name == "radam":
         tx = optax.radam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
@@ -235,6 +451,8 @@ def build_optimizer(
     *,
     freeze_prefix: str = "",
     external_lr: bool = False,
+    step_offset: int = 0,
+    update_mask=None,
 ) -> Tuple[optax.GradientTransformation, Callable[[int], jax.Array]]:
     """Build the full transformation incl. param groups and clipping.
 
@@ -247,6 +465,15 @@ def build_optimizer(
     linear in lr (weight decay included), so the result is identical math
     with the schedule driven by the host's iteration counter — the exact
     reference multi-task semantics (train_tasks.py:541-559).
+
+    ``step_offset=1`` evaluates internal schedules at (update_count + 1):
+    the reference CC loop calls scheduler.step() BEFORE optimizer.step()
+    (train_concap.py:583-586), so its k-th update uses λ(k), k starting
+    at 1 — not λ(k-1).
+
+    ``update_mask`` (external_lr adamw only) restricts which params
+    participate in the step — see task_update_mask. Different masks over
+    the same params yield state-compatible transformations.
     """
     if cfg.schedule in EPOCH_SCHEDULES and not external_lr:
         raise ValueError(
@@ -264,8 +491,32 @@ def build_optimizer(
     def group_lr(lr: float):
         if external_lr:
             return lr / cfg.learning_rate  # constant ratio
-        return make_schedule(cfg, lr, total_steps)
+        sched = make_schedule(cfg, lr, total_steps)
+        if step_offset:
+            return lambda count, _s=sched: _s(count + step_offset)
+        return sched
 
+    if external_lr and cfg.name == "adamw":
+        # one fused transformation: per-param ratios + participation mask
+        ratio_of = {
+            "base": 1.0,
+            "head": (cfg.head_lr / cfg.learning_rate
+                     if cfg.head_lr is not None else 1.0),
+            "pretrained_scaled": cfg.pretrained_lr_scale,
+            "frozen": 0.0,
+        }
+        ratios = jax.tree.map(lambda lb: ratio_of[lb], labels)
+        tx = external_adamw(cfg, params, ratios=ratios,
+                            update_mask=update_mask)
+        if cfg.grad_clip_norm:
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm), tx
+            )
+        return tx, schedule
+
+    assert update_mask is None, (
+        "update_mask is only supported for the external-lr adamw path"
+    )
     transforms: Dict[str, optax.GradientTransformation] = {
         "base": _base_transform(cfg, group_lr(cfg.learning_rate), params)
     }

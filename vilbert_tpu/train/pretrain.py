@@ -103,6 +103,78 @@ def make_pretrain_loss_fn(
     return loss_fn
 
 
+def evaluate_pretraining(
+    model_cfg: ModelConfig,
+    params,
+    val_loader: Iterable[Dict[str, Any]],
+    *,
+    img_weight: float = 1.0,
+    lm_gather: int = 0,
+    mesh=None,
+    seed: int = 0,
+    max_batches: int = 0,
+) -> Dict[str, float]:
+    """Full validation pass with the three pretraining losses.
+
+    Rebuilds the reference's per-epoch CC validation loop
+    (train_concap.py:608-654: model.eval() + torch.no_grad over the val
+    loader, averaging masked_loss_t / masked_loss_v / next_sentence_loss).
+    Deterministic forward (no dropout); the NCE negative sampling of
+    visual_target=2 uses a fixed per-batch rng so results are reproducible.
+
+    Returns mean {"loss", "masked_loss_t", "masked_loss_v",
+    "next_sentence_loss"} over the batches.
+    """
+    from vilbert_tpu.data.prefetch import compress_for_transfer
+    from vilbert_tpu.parallel.mesh import batch_sharding
+
+    model = ViLBERTForPretraining(model_cfg)
+    loss_fn = make_pretrain_loss_fn(
+        model, model_cfg, img_weight=img_weight, deterministic=True,
+        lm_gather=lm_gather,
+    )
+
+    @jax.jit
+    def eval_step(p, batch, rng):
+        loss, metrics = loss_fn(p, batch, rng)
+        out = dict(metrics)
+        out["loss"] = loss
+        return out
+
+    placer = None
+    sharding = None
+    if mesh is not None and jax.process_count() > 1:
+        # per-host val shards -> one global batch (same as training)
+        from vilbert_tpu.parallel.distributed import make_global_batch_fn
+
+        placer = make_global_batch_fn(mesh)
+    elif mesh is not None:
+        sharding = batch_sharding(mesh)
+    rng = jax.random.PRNGKey(seed)
+    totals: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(val_loader):
+        if max_batches and i >= max_batches:
+            break
+        batch = {k: v for k, v in batch.items() if k != "image_id"}
+        batch = compress_for_transfer(
+            batch, model_cfg.compute_dtype,
+            raw_feature_targets=model_cfg.visual_target != 0,
+        )
+        if placer is not None:
+            batch = placer(batch)
+        elif sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        rng, sub = jax.random.split(rng)
+        metrics = jax.device_get(eval_step(params, batch, sub))
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in totals.items()}
+
+
 def run_pretraining(
     model_cfg: ModelConfig,
     opt_cfg: OptimizerConfig,
@@ -117,9 +189,17 @@ def run_pretraining(
     init_params=None,
     log_every: int = 20,
     val_loader: Optional[Iterable] = None,
+    val_every: int = 0,
+    val_history: Optional[list] = None,
     hooks: Optional[list] = None,
 ) -> TrainState:
-    """Minimal pretraining driver; CLI wiring lives in cli/train_concap.py."""
+    """Minimal pretraining driver; CLI wiring lives in cli/train_concap.py.
+
+    With ``val_loader`` set, a full validation pass (the reference's
+    per-epoch val loop, train_concap.py:608-654) runs every ``val_every``
+    steps (default: once after the final step); results are logged and
+    appended to ``val_history`` as (step, metrics dict) when provided.
+    """
     from vilbert_tpu.data.prefetch import device_prefetch, repeat_iterator
 
     mesh = mesh or make_mesh()
@@ -140,7 +220,10 @@ def run_pretraining(
             first["image_mask"],
         )["params"]
 
-    tx, schedule = build_optimizer(opt_cfg, init_params, num_steps)
+    # step_offset=1: the reference steps the LR scheduler BEFORE the
+    # optimizer (train_concap.py:583-586) — update k trains at λ(k), k≥1
+    tx, schedule = build_optimizer(opt_cfg, init_params, num_steps,
+                                   step_offset=1)
     state = TrainState.create(init_params, tx)
     state = TrainState(*replicate_pytree(tuple(state), mesh))
 
@@ -200,6 +283,21 @@ def run_pretraining(
         itertools.chain([first], batches), sharding=sharding, size=2,
         transform=host_transform, placer=placer,
     )
+    def run_validation(step: int) -> None:
+        metrics = evaluate_pretraining(
+            model_cfg, state.params, val_loader,
+            img_weight=img_weight, lm_gather=lm_gather, mesh=mesh,
+        )
+        logger.info(
+            "validation @ step %d: loss %.4f (t %.4f v %.4f nsp %.4f)",
+            step, metrics.get("loss", float("nan")),
+            metrics.get("masked_loss_t", float("nan")),
+            metrics.get("masked_loss_v", float("nan")),
+            metrics.get("next_sentence_loss", float("nan")),
+        )
+        if val_history is not None:
+            val_history.append((step, metrics))
+
     t0 = time.perf_counter()
     for step in range(num_steps):
         batch = next(stream)
@@ -220,9 +318,19 @@ def run_pretraining(
                 "step %d loss %.4f (t %.4f v %.4f nsp %.4f) lr %.2e %.2f it/s",
                 step + 1, metrics["loss"], metrics["masked_loss_t"],
                 metrics["masked_loss_v"], metrics["next_sentence_loss"],
-                float(schedule(step)), log_every / dt,
+                float(schedule(step + 1)), log_every / dt,
             )
             t0 = time.perf_counter()
         for hook in hooks or ():
             hook(step, state, metrics)
+        if (
+            val_loader is not None and val_every
+            and (step + 1) % val_every == 0
+        ):
+            run_validation(step + 1)
+            t0 = time.perf_counter()  # don't count val time in it/s
+    if val_loader is not None and (
+        not val_every or num_steps % val_every != 0
+    ):
+        run_validation(num_steps)
     return state
