@@ -28,6 +28,43 @@ class TestRankingMetrics:
         assert m["r1"] == 0.5
         assert m["meanr"] == 1.5
 
+    def test_five_captions_per_image_protocol(self):
+        """The reference protocol scores 5N captions against an N-image pool
+        (retreival_dataset.py:301-471); the ranking matrix is 5N x N and the
+        target repeats per caption of the same image."""
+        from vilbert_tpu.eval.retrieval import evaluate_retrieval
+
+        N, R, D = 4, 3, 5
+        rng = np.random.RandomState(0)
+        pool = {
+            "features": rng.rand(N, R, D).astype(np.float32),
+            "spatials": rng.rand(N, R, 5).astype(np.float32),
+            "image_mask": np.ones((N, R), np.int32),
+        }
+        # score = -|mean(caption ids) - mean(image features scaled)|: make a
+        # scorer that always prefers the true image via a planted signature
+        sig = pool["features"].mean(axis=(1, 2))  # [chunk] per image
+
+        calls = []
+
+        def scorer(q, feats, spats, im, sg, imask):
+            calls.append(q.shape)
+            want = float(q[0, 0]) / 1000.0
+            return -np.abs(feats.mean(axis=(1, 2)) - want)
+
+        def caps():
+            for i in range(N):
+                for j in range(5):
+                    q = np.full((7,), int(sig[i] * 1000), np.int32)
+                    yield {"question": q, "input_mask": np.ones(7, np.int32),
+                           "segment_ids": np.zeros(7, np.int32),
+                           "target_index": i}
+
+        m = evaluate_retrieval(scorer, caps(), pool, chunk=N)
+        assert len(calls) == 5 * N          # 5N captions, one chunk each
+        assert m["r1"] > 0.9                # planted signal always ranks 1st
+        assert m["medr"] == 1.0
+
 
 class TestVCR:
     def test_joint_accuracy(self):

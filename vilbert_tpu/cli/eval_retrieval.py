@@ -23,7 +23,17 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="configs/bert_base_6layer_6conect.json")
     p.add_argument("--store", default="")
-    p.add_argument("--captions", default="")
+    p.add_argument("--annotations", default="",
+                   help="reference val jsonlines ({id|img_path, sentences:"
+                        "[5 captions]}, retreival_dataset.py:301-322) — the "
+                        "published protocol: ALL 5N captions are ranked "
+                        "against the N-image pool")
+    p.add_argument("--task_name", default="RetrievalCOCO",
+                   choices=["RetrievalCOCO", "RetrievalFlickr30k"])
+    p.add_argument("--captions", default="",
+                   help="legacy {image_id: caption} json — ONE caption per "
+                        "image; NOT comparable to published R@K (use "
+                        "--annotations)")
     p.add_argument("--vocab", default="")
     p.add_argument("--params", default="")
     p.add_argument("--zero_shot", action="store_true")
@@ -59,17 +69,49 @@ def main(argv=None) -> None:
     model_cfg = ModelConfig.from_json_file(args.config, fast_mode=args.fast_mode)
     tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
 
+    # caption_entries: ordered [(caption_text, image_id)]; the pool is the
+    # ordered unique image list. With --annotations this reproduces the
+    # reference protocol exactly: 5 captions per image, 5N x N score matrix
+    # (retreival_dataset.py:301-471).
     if args.synthetic:
         store = InMemoryFeatureStore.synthetic(num_images=8, num_boxes=8)
-        captions = {k: f"a caption for image {k}" for k in store.keys()}
+        keys = store.keys()
+        caption_entries = [
+            (f"synthetic caption {j} for image {k}", k)
+            for k in keys for j in range(5)
+        ]
         args.pool_size, args.chunk = 8, 4
         args.max_region_num = 10
+    elif args.annotations:
+        from vilbert_tpu.data.annotations import load_retrieval
+
+        assert args.store, "--store required"
+        store = open_feature_store(args.store)
+        anns = load_retrieval(args.annotations, args.task_name)
+        available = set(store.keys())
+        keys, seen = [], set()
+        for a in anns:
+            if a.image_id not in seen and a.image_id in available:
+                seen.add(a.image_id)
+                keys.append(a.image_id)
+        keys = keys[: args.pool_size]
+        kept = set(keys)
+        caption_entries = [
+            (a.text, a.image_id) for a in anns if a.image_id in kept
+        ]
     else:
-        assert args.store and args.captions
+        assert args.store and args.captions, (
+            "--store plus --annotations (protocol) or --captions (legacy)"
+        )
         store = open_feature_store(args.store)
         captions = json.load(open(args.captions))
+        keys = store.keys()[: args.pool_size]
+        caption_entries = [(captions[k], k) for k in keys]
+        logging.warning(
+            "--captions gives ONE caption per image; published COCO/Flickr "
+            "R@K uses 5 per image — pass --annotations for the real protocol"
+        )
 
-    keys = store.keys()[: args.pool_size]
     R = args.max_region_num
 
     feats = np.zeros((len(keys), R, model_cfg.v_feature_size), np.float32)
@@ -83,15 +125,17 @@ def main(argv=None) -> None:
         masks[i, :n] = 1
     pool = {"features": feats, "spatials": spats, "image_mask": masks}
 
+    pool_index = {k: i for i, k in enumerate(keys)}
+
     def caption_iter():
-        for i, k in enumerate(keys):
+        for text, image_id in caption_entries:
             ids = add_special_single(
                 tokenizer,
-                list(tokenizer.encode(captions[k]))[: args.max_seq_length - 2],
+                list(tokenizer.encode(text))[: args.max_seq_length - 2],
             )
             q, m, s = _pad_text(ids, args.max_seq_length)
             yield {"question": q, "input_mask": m, "segment_ids": s,
-                   "target_index": i}
+                   "target_index": pool_index[image_id]}
 
     if args.zero_shot:
         from vilbert_tpu.models.vilbert import ViLBERTForPretraining
@@ -126,6 +170,8 @@ def main(argv=None) -> None:
         scorer, caption_iter(), pool, chunk=args.chunk,
         fast_mode=args.fast_mode and not args.zero_shot,
     )
+    metrics["num_captions"] = len(caption_entries)
+    metrics["pool_size"] = len(keys)
     logging.info("retrieval: %s", metrics)
     with open(args.output, "w") as f:
         json.dump(metrics, f)

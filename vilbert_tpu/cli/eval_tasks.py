@@ -22,6 +22,9 @@ def main(argv=None) -> None:
     p.add_argument("--tasks_yml", default="configs/tasks.yml")
     p.add_argument("--tasks", default="1")
     p.add_argument("--params", default="", help=".npz or torch .bin checkpoint")
+    p.add_argument("--vocab", default="",
+                   help="WordPiece vocab.txt (required for real data: "
+                        "reference BertTokenizer, task_utils.py:396)")
     p.add_argument("--output_dir", default="results")
     p.add_argument("--split", default="val")
     p.add_argument("--task_specific_tokens", action="store_true")
@@ -55,8 +58,31 @@ def main(argv=None) -> None:
         from vilbert_tpu.data.loading import load_datasets
         from vilbert_tpu.data.tokenization import load_tokenizer
 
-        tokenizer = load_tokenizer(None, model_cfg.vocab_size)
+        assert args.vocab, (
+            "--vocab is required with real data: without the WordPiece "
+            "vocab, questions would be tokenized by the synthetic "
+            "HashTokenizer and scores would be garbage"
+        )
+        tokenizer = load_tokenizer(args.vocab, model_cfg.vocab_size)
         _, loaders = load_datasets(selected, tokenizer, with_val=True)
+
+    def task_label2ans(task):
+        """Answer vocabulary for VQA/GQA submission records
+        (reference eval_tasks.py:303-316 writes label2ans[argmax])."""
+        if args.synthetic or task.type not in (
+            "VL-classifier", "VL-classifier-GQA"
+        ):
+            return None
+        from vilbert_tpu.data.annotations import load_label2ans
+
+        try:
+            return load_label2ans(task.dataroot)
+        except (FileNotFoundError, OSError):
+            logging.warning(
+                "%s: no cache/trainval_label2ans.pkl under %r — submission "
+                "records will carry integer labels", task.name, task.dataroot,
+            )
+            return None
 
     model = ViLBERTForVLTasks(model_cfg)
     first = next(iter(next(iter(loaders.values()))))
@@ -81,6 +107,7 @@ def main(argv=None) -> None:
     for key, task in selected.items():
         metrics, results = evaluate_task(
             model, model_cfg, task, params, loaders[key],
+            label2ans=task_label2ans(task),
             qid_map=getattr(loaders[key].dataset, "qid_map", None),
         )
         logging.info("%s: loss %.4f score %.4f (%d samples)",
