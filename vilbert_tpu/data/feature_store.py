@@ -225,33 +225,62 @@ class VrfFeatureStore:
 
 
 class LmdbFeatureStore:
-    """Reads the reference's LMDB artifacts (requires the lmdb package).
+    """Reads the reference's LMDB artifacts.
 
     Value schema per the reference converter (script/convert_to_lmdb.py:36-48):
     pickled {image_id, image_h, image_w, num_boxes, boxes, features}.
+
+    Uses the C ``lmdb`` package when installed; otherwise falls back to the
+    first-party pure-Python reader (``data/lmdb_reader.py``) — published
+    reference artifacts stay ingestible with zero native dependencies.
     """
 
     def __init__(self, path: str):
-        try:
-            import lmdb  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "LmdbFeatureStore needs the 'lmdb' package; convert the data "
-                "to .vfr with scripts/convert_lmdb_to_vfr.py instead"
-            ) from e
         import pickle
 
         self._pickle = pickle
-        self._env = lmdb.open(
-            path, max_readers=1, readonly=True, lock=False,
-            readahead=False, meminit=False,
-        )
+        try:
+            import lmdb
+
+            self._env = lmdb.open(
+                path, max_readers=1, readonly=True, lock=False,
+                readahead=False, meminit=False,
+            )
+            self._get_raw = self._get_raw_clmdb
+        except ImportError:
+            from vilbert_tpu.data.lmdb_reader import LmdbReader
+
+            self._env = LmdbReader(path)
+            self._get_raw = self._env.get
+        keys_blob = self._get_raw(b"keys")
+        if keys_blob is not None:
+            self._keys = [
+                k.decode() if isinstance(k, bytes) else str(k)
+                for k in self._pickle.loads(keys_blob)
+            ]
+        else:
+            # shard without a "keys" index (reference CC shards iterate the
+            # env directly): enumerate the database
+            self._keys = [
+                k.decode() for k, _ in self._iter_raw() if k != b"keys"
+            ]
+
+    def _get_raw_clmdb(self, key: bytes):
         with self._env.begin(write=False) as txn:
-            self._keys = [k.decode() for k in self._pickle.loads(txn.get(b"keys"))]
+            return txn.get(key)
+
+    def _iter_raw(self):
+        if hasattr(self._env, "items"):  # pure-python reader
+            yield from self._env.items()
+        else:
+            with self._env.begin(write=False) as txn:
+                yield from txn.cursor()
 
     def get(self, image_id: str) -> RegionFeatures:
-        with self._env.begin(write=False) as txn:
-            item = self._pickle.loads(txn.get(str(image_id).encode()))
+        blob = self._get_raw(str(image_id).encode())
+        if blob is None:
+            raise KeyError(image_id)
+        item = self._pickle.loads(blob)
         feats = np.asarray(item["features"], np.float32).reshape(-1, FEATURE_DIM)
         boxes = np.asarray(item["boxes"], np.float32).reshape(-1, 4)
         return RegionFeatures(
