@@ -7,6 +7,8 @@ torch = pytest.importorskip("torch")
 
 from tests.reference_loader import load_reference_vilbert, torch_state_dict_to_numpy
 
+pytestmark = pytest.mark.slow
+
 ATOL = 3e-5
 
 

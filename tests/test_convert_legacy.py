@@ -17,6 +17,8 @@ import pytest
 
 from vilbert_tpu.data.feature_store import VrfFeatureStore
 
+pytestmark = pytest.mark.slow
+
 SCRIPT = Path(__file__).resolve().parents[1] / "scripts" / "convert_lmdb_to_vfr.py"
 
 

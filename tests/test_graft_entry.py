@@ -7,7 +7,10 @@ in a subprocess forced to an n-device virtual CPU platform; these tests
 exercise both paths.
 """
 
+import pytest
 import sys
+
+pytestmark = pytest.mark.slow
 
 
 def _load_entry():

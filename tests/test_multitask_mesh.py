@@ -1,6 +1,9 @@
 """Multi-task trainer on the 8-device mesh: sharded batches, replicated state."""
 
+import pytest
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def test_multitask_trains_on_mesh(tiny_config):

@@ -17,6 +17,8 @@ from tests.reference_loader import (
     torch_state_dict_to_numpy,
 )
 
+pytestmark = pytest.mark.slow
+
 ATOL = 3e-5
 
 
