@@ -95,20 +95,82 @@ state2 = run_pretraining(
 )
 loss_like2 = float(np.asarray(jax.device_get(state2.params["bert"]["embeddings"]["word_embeddings"]["embedding"])).sum())
 print(f"FINAL2 {loss_like2:.6f}", flush=True)
+
+# --- multitask trainer x grad accum on the multi-host mesh -----------------
+# (reference composes DDP + --gradient_accumulation_steps freely,
+# train_tasks.py:537-541; per-host micro shards assemble on axis 1)
+from vilbert_tpu.core.config import TaskConfig, TrainConfig
+from vilbert_tpu.parallel.mesh import make_mesh
+from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+B_GLOBAL = 4
+
+def task_batch(step, kind):
+    r = np.random.RandomState(200 + step * 7 + (0 if kind == "vqa" else 1))
+    full = {
+        "question": r.randint(1, cfg.vocab_size, (B_GLOBAL, SEQ)).astype(np.int32),
+        "features": r.randn(B_GLOBAL, REG, cfg.v_feature_size).astype(np.float32),
+        "spatials": r.rand(B_GLOBAL, REG, 5).astype(np.float32),
+        "segment_ids": np.zeros((B_GLOBAL, SEQ), np.int32),
+        "input_mask": np.ones((B_GLOBAL, SEQ), np.int32),
+        "image_mask": np.ones((B_GLOBAL, REG), np.int32),
+        "target": (r.rand(B_GLOBAL, 13).astype(np.float32) if kind == "vqa"
+                   else r.randint(0, 3, (B_GLOBAL,)).astype(np.int32)),
+    }
+    lo = pid * (B_GLOBAL // nprocs)
+    hi = lo + B_GLOBAL // nprocs
+    return {k: v[lo:hi] for k, v in full.items()}
+
+class Loader:
+    def __init__(self, batches):
+        self.batches = batches
+        self.batch_size = B_GLOBAL // nprocs
+    def __iter__(self):
+        return iter(self.batches)
+    def __len__(self):
+        return len(self.batches)
+
+tasks = {
+    "TASK_A": TaskConfig(task_id=1, name="A", type="VL-classifier",
+                         loss="BCEWithLogitLoss", batch_size=B_GLOBAL,
+                         lr=4e-4, num_epoch=2, num_labels=13),
+    "TASK_B": TaskConfig(task_id=2, name="B", type="VL-tri-classifier",
+                         loss="CrossEntropyLoss", batch_size=B_GLOBAL,
+                         lr=2e-4, num_epoch=2, num_labels=3),
+}
+loaders = {"TASK_A": Loader([task_batch(s, "vqa") for s in range(4)]),
+           "TASK_B": Loader([task_batch(s, "tri") for s in range(4)])}
+trainer = MultiTaskTrainer(
+    cfg, tasks, loaders,
+    opt_cfg=OptimizerConfig(learning_rate=2e-4, schedule="warmup_linear",
+                            warmup_proportion=0.25, correct_bias=False),
+    train_cfg=TrainConfig(gradient_accumulation_steps=2),
+    num_labels=13, seed=0, mesh=make_mesh(), num_train_epochs=2,
+    dropout_prob=0.0,
+)
+assert trainer.median_num_iter == 2, trainer.median_num_iter
+for it in range(2):
+    m = trainer.train_iteration(it)
+    print(f"MT{it} {float(m['TASK_A']['loss']):.6f} "
+          f"{float(m['TASK_B']['loss']):.6f}", flush=True)
 """
 
 
-def test_two_process_cpu_training(tmp_path):
+def _free_port():
     sock = socket.socket()
     sock.bind(("localhost", 0))
     port = sock.getsockname()[1]
     sock.close()
+    return port
 
+
+def test_two_process_cpu_training(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
     env["JAX_PLATFORMS"] = "cpu"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), "2", str(port), ROOT],
@@ -117,17 +179,36 @@ def test_two_process_cpu_training(tmp_path):
         )
         for i in range(2)
     ]
+    # plus a single-process run of the same program: the multitask x
+    # grad-accum trajectory must reproduce it (reference DDP + grad accum,
+    # train_tasks.py:537-541)
+    single = subprocess.Popen(
+        [sys.executable, str(script), "0", "1", str(_free_port()), ROOT],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
     outs = []
-    for p in procs:
+    for p in procs + [single]:
         out, _ = p.communicate(timeout=600)
         outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
+    for i, (p, out) in enumerate(zip(procs + [single], outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
     for tag in ("FINAL ", "FINAL2"):
         finals = [
             [ln for ln in out.splitlines() if ln.startswith(tag)][-1]
-            for out in outs
+            for out in outs[:2]
         ]
         # both processes hold the same replicated params after 3 psum'd steps
         v0, v1 = (float(f.split()[1]) for f in finals)
         assert np.isfinite(v0) and abs(v0 - v1) < 1e-6, (tag, finals)
+
+    def mt_losses(out):
+        rows = [ln.split()[1:] for ln in out.splitlines()
+                if ln.startswith("MT")]
+        return np.asarray([[float(x) for x in r] for r in rows])
+
+    mt0, mt1, mt_single = (mt_losses(o) for o in outs)
+    assert mt0.shape == (2, 2), outs[0][-2000:]
+    # lockstep: the two cluster processes compute the identical program
+    np.testing.assert_allclose(mt0, mt1, atol=1e-6)
+    # 2-process x grad-accum reproduces the single-process trajectory
+    np.testing.assert_allclose(mt0, mt_single, rtol=2e-4, atol=1e-5)

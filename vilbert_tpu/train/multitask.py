@@ -363,29 +363,44 @@ class MultiTaskTrainer:
         self.mesh = mesh
         self._batch_sharding = None
         self._batch_placer = None
+        self._accum_placer = None
         if mesh is not None:
             from vilbert_tpu.parallel.mesh import batch_sharding, replicate_pytree
 
             self.state = TrainState(*replicate_pytree(tuple(self.state), mesh))
             if self.grad_accum > 1:
-                # the data axis shards the microbatch dim, not the scan dim
+                # microbatches stay host-side in the per-task prefetch; the
+                # stacked [ga, B_local, ...] batch is placed ONCE per
+                # iteration with the data axis on the microbatch dim
+                # (axis 1) — scan axis replicated. Multi-host composes with
+                # grad accum exactly like pretrain.py: per-host shards are
+                # assembled into the global array on axis 1 (the reference
+                # runs DDP + grad accum together, train_tasks.py:537-541).
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                assert jax.process_count() == 1, (
-                    "gradient accumulation with multi-host train_tasks is "
-                    "not wired; drop one of the two"
-                )
-                self._batch_sharding = NamedSharding(
-                    mesh, PartitionSpec(None, "data")
-                )
-            else:
-                self._batch_sharding = batch_sharding(mesh)
-            if jax.process_count() > 1:
+                if jax.process_count() > 1:
+                    from vilbert_tpu.parallel.distributed import (
+                        make_global_batch_fn,
+                    )
+
+                    self._accum_placer = make_global_batch_fn(
+                        mesh, batch_axis=1
+                    )
+                else:
+                    micro_sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+                    self._accum_placer = lambda b: jax.tree.map(
+                        lambda x: jax.device_put(x, micro_sh), b
+                    )
+                # keep prefetch host-side: identity placer
+                self._batch_placer = lambda b: b
+            elif jax.process_count() > 1:
                 # multi-host: loaders yield per-process shards; assemble the
                 # global batch (SURVEY.md §2.5)
                 from vilbert_tpu.parallel.distributed import make_global_batch_fn
 
                 self._batch_placer = make_global_batch_fn(mesh)
+            else:
+                self._batch_sharding = batch_sharding(mesh)
 
         self.tasks: Dict[str, TaskRuntime] = {}
         for key, tcfg in tasks.items():
@@ -519,22 +534,29 @@ class MultiTaskTrainer:
             if self.grad_accum > 1:
                 # one iteration = ga divided batches scanned inside the step
                 # (train_step grad_accum contract); loaders were built with
-                # batch_size/ga (reference train_tasks.py:150-155)
+                # batch_size/ga (reference train_tasks.py:150-155). Stacked
+                # host-side, then placed with the data axis on the
+                # microbatch dim (multi-host: global assembly on axis 1).
                 micro = [
                     {k: v for k, v in task.next_batch().items()
                      if k != "question_id"}
                     for _ in range(self.grad_accum)
                 ]
-                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+                batch = jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *micro
+                )
+                if self._accum_placer is not None:
+                    batch = self._accum_placer(batch)
             else:
                 batch = task.next_batch()
                 batch = {k: v for k, v in batch.items() if k != "question_id"}
-            if self._batch_placer is not None:
-                batch = self._batch_placer(batch)
-            elif self._batch_sharding is not None:
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(x, self._batch_sharding), batch
-                )
+                if self._batch_placer is not None:
+                    batch = self._batch_placer(batch)
+                elif self._batch_sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, self._batch_sharding),
+                        batch,
+                    )
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = task.step_fn(self.state, batch, sub, lr)
             out[key] = metrics
