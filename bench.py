@@ -213,7 +213,8 @@ def bench_e2e(num_workers: int = 0) -> None:
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
          fused_qkv: bool = False, fp32_softmax: bool = False,
-         no_head_major: bool = False) -> None:
+         no_head_major: bool = False,
+         second_moment_dtype: str = "float32") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -273,7 +274,9 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         key, batch["input_ids"], batch["image_feat"], batch["image_loc"]
     )["params"]
     tx, _ = build_optimizer(
-        OptimizerConfig(learning_rate=1e-4, schedule="constant"), params, 1000
+        OptimizerConfig(learning_rate=1e-4, schedule="constant",
+                        second_moment_dtype=second_moment_dtype),
+        params, 1000,
     )
     state = TrainState.create(params, tx)
     loss_fn = make_pretrain_loss_fn(model, cfg, lm_gather=lm_gather)
@@ -328,10 +331,14 @@ if __name__ == "__main__":
              batch=_arg("--batch", 128), remat="--remat" in sys.argv,
              metric_suffix="_large",
              lm_gather=_arg("--lm_gather", SEQ // 3),
-             no_head_major="--no_head_major" in sys.argv)
+             no_head_major="--no_head_major" in sys.argv,
+             second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
+                                  else "float32"))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
              fused_qkv="--fused_qkv" in sys.argv,
              fp32_softmax="--fp32_softmax" in sys.argv,
-             no_head_major="--no_head_major" in sys.argv)
+             no_head_major="--no_head_major" in sys.argv,
+             second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
+                                  else "float32"))

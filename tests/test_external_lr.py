@@ -105,3 +105,29 @@ def test_multitask_lr_follows_iterations(tiny_config):
     before = pooler(t2)
     t2.train_iteration(0)
     assert np.abs(pooler(t2) - before).max() > 0
+
+
+def test_bf16_second_moment_storage():
+    """second_moment_dtype=bfloat16 stores nu compressed; updates stay close
+    to the fp32-state variant (math is fp32, only storage is rounded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilbert_tpu.core.config import OptimizerConfig
+    from vilbert_tpu.train.optim import build_optimizer
+
+    params = {"bert": {"w": np.ones((16, 8), np.float32)}}
+    grads = {"bert": {"w": np.random.RandomState(0).randn(16, 8).astype(np.float32)}}
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = OptimizerConfig(learning_rate=1e-3, schedule="constant",
+                              second_moment_dtype=dt)
+        tx, _ = build_optimizer(cfg, params, 10, external_lr=True)
+        state = tx.init(params)
+        upds = None
+        for _ in range(3):
+            upds, state = tx.update(jax.tree.map(jnp.asarray, grads), state, params)
+        out[dt] = np.asarray(upds["bert"]["w"])
+        nu = state.nu if hasattr(state, "nu") else state[0].nu
+        assert str(nu["bert"]["w"].dtype) == dt
+    np.testing.assert_allclose(out["bfloat16"], out["float32"], rtol=2e-2)

@@ -278,6 +278,11 @@ class OptimizerConfig:
     # default opt config mirrors that; CC pretraining keeps the default True
     # (train_concap.py:466 leaves pytorch_transformers' default).
     correct_bias: bool = True
+    # storage dtype of the Adam second moment (v). "bfloat16" halves v's HBM
+    # footprint and the optimizer-walk traffic — at bert_large scale the
+    # adamw state walk is ~18% of the step (docs/perf.md). The moment update
+    # itself always computes in fp32 (only storage is compressed).
+    second_moment_dtype: str = "float32"
     warmup_proportion: float = 0.1
     # per-iteration: "warmup_linear" | "warmup_constant" | "constant";
     # epoch-composed (reference train_tasks.py:440-457, require external_lr):

