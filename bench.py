@@ -214,7 +214,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
          fused_qkv: bool = False, fp32_softmax: bool = False,
          no_head_major: bool = False,
-         second_moment_dtype: str = "float32") -> None:
+         second_moment_dtype: str = "float32",
+         grad_dtype: str = "") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -280,7 +281,7 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
     )
     state = TrainState.create(params, tx)
     loss_fn = make_pretrain_loss_fn(model, cfg, lm_gather=lm_gather)
-    step_fn = make_train_step(loss_fn, tx)
+    step_fn = make_train_step(loss_fn, tx, grad_dtype=grad_dtype or None)
 
     batch = jax.tree.map(jax.device_put, batch)
 
@@ -333,7 +334,8 @@ if __name__ == "__main__":
              lm_gather=_arg("--lm_gather", SEQ // 3),
              no_head_major="--no_head_major" in sys.argv,
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
-                                  else "float32"))
+                                  else "float32"),
+             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
@@ -341,4 +343,5 @@ if __name__ == "__main__":
              fp32_softmax="--fp32_softmax" in sys.argv,
              no_head_major="--no_head_major" in sys.argv,
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
-                                  else "float32"))
+                                  else "float32"),
+             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""))

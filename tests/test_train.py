@@ -254,6 +254,23 @@ class TestEndToEnd:
         k2 = np.asarray(s2.params["bert"]["t_pooler"]["dense"]["kernel"])
         np.testing.assert_allclose(k1, k2, atol=2e-6)
 
+        # grad_dtype="bfloat16" (bf16 gradient storage, fp32 update math)
+        # tracks the fp32-grad trajectory to bf16 mantissa tolerance, params
+        # stay fp32, and it composes with grad accumulation.
+        import jax.numpy as jnp
+
+        for ga, b in ((1, batch), (2, micro)):
+            params = jax.tree.map(jnp.asarray, params_np)
+            tx3, _ = build_optimizer(opt, params, 10)
+            s3 = TrainState.create(params, tx3)
+            s3, m3 = make_train_step(
+                loss_fn, tx3, grad_accum=ga, grad_dtype="bfloat16"
+            )(s3, b, jax.random.PRNGKey(9))
+            assert s3.params["bert"]["t_pooler"]["dense"]["kernel"].dtype == jnp.float32
+            np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-2)
+            k3 = np.asarray(s3.params["bert"]["t_pooler"]["dense"]["kernel"])
+            np.testing.assert_allclose(k1, k3, atol=2e-3)
+
 
 class TestLMGather:
     def test_gathered_lm_loss_matches_full(self, tiny_config):

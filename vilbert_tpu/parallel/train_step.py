@@ -54,6 +54,7 @@ def make_train_step(
     grad_accum: int = 1,
     loss_scale: float = 1.0,
     external_lr: bool = False,
+    grad_dtype: Optional[str] = None,
     jit: bool = True,
 ) -> Callable[..., Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build a fused forward+backward+update step.
@@ -70,22 +71,43 @@ def make_train_step(
     host. This reproduces the reference multi-task semantics exactly:
     optimizer.step per task, warmup/LR advanced once per iteration
     (train_tasks.py:541-559).
+
+    ``grad_dtype="bfloat16"`` differentiates w.r.t. a low-precision cast of
+    the fp32 master params, so the backward's dW dots EMIT (and HBM-write)
+    bf16 gradients and the fused adamw pass reads them at half the traffic;
+    moments/updates still accumulate in fp32 inside ``reference_adamw``.
+    Equivalent to computing every per-layer ``param.astype(compute_dtype)``
+    cast once up front; the only numeric delta vs the default is that the
+    few params the model keeps fp32 in compute (LayerNorm scales/biases)
+    are rounded too, and the grads themselves carry bf16 mantissas into the
+    moment update — no looser than the reference's apex fp16 recipe
+    (train_concap.py:504, model.half()). Default off: fp32 grads preserve
+    exact reference-trajectory parity.
     """
 
     grad_fn = jax.value_and_grad(
         lambda p, b, r: loss_fn(p, b, r), has_aux=True
     )
 
+    def cast_for_grad(params: Any) -> Any:
+        if grad_dtype is None:
+            return params
+        gd = jnp.dtype(grad_dtype)
+        return jax.tree.map(
+            lambda x: x.astype(gd) if x.dtype == jnp.float32 else x, params
+        )
+
     def step_fn(state: TrainState, batch: Any, rng: jax.Array,
                 lr: Optional[jax.Array] = None):
         if grad_accum == 1:
-            (loss, metrics), grads = grad_fn(state.params, batch, rng)
+            (loss, metrics), grads = grad_fn(cast_for_grad(state.params), batch, rng)
         else:
             rngs = jax.random.split(rng, grad_accum)
+            cast_params = cast_for_grad(state.params)
 
             def body(carry, xs):
                 mb, r = xs
-                (loss_i, metrics_i), g_i = grad_fn(state.params, mb, r)
+                (loss_i, metrics_i), g_i = grad_fn(cast_params, mb, r)
                 g_acc, l_acc, m_acc = carry
                 g_acc = jax.tree.map(jnp.add, g_acc, g_i)
                 m_acc = jax.tree.map(jnp.add, m_acc, metrics_i)
