@@ -215,7 +215,7 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
          fused_qkv: bool = False, fp32_softmax: bool = False,
          no_head_major: bool = False,
          second_moment_dtype: str = "float32",
-         grad_dtype: str = "") -> None:
+         grad_dtype: str = "", proj_impl: str = "einsum") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -247,6 +247,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, softmax_dtype="float32")
     if no_head_major:  # A/B knob: default is head-major [B,h,S,d] attention
         cfg = dataclasses.replace(cfg, head_major_attention=False)
+    if proj_impl != "einsum":  # A/B knob: projection spelling (docs/perf.md)
+        cfg = dataclasses.replace(cfg, proj_impl=proj_impl)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -323,6 +325,10 @@ if __name__ == "__main__":
         return (int(sys.argv[sys.argv.index(flag) + 1])
                 if flag in sys.argv else default)
 
+    def _sarg(flag, default=""):
+        return (sys.argv[sys.argv.index(flag) + 1]
+                if flag in sys.argv else default)
+
     if "--eval" in sys.argv:
         bench_vqa_eval(no_head_major="--no_head_major" in sys.argv)
     elif "--e2e" in sys.argv:
@@ -335,7 +341,8 @@ if __name__ == "__main__":
              no_head_major="--no_head_major" in sys.argv,
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
-             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""))
+             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
+             proj_impl=_sarg("--proj_impl", "einsum"))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
@@ -344,4 +351,5 @@ if __name__ == "__main__":
              no_head_major="--no_head_major" in sys.argv,
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
-             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""))
+             grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
+             proj_impl=_sarg("--proj_impl", "einsum"))

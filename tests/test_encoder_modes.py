@@ -174,6 +174,41 @@ class TestHeadMajorLayout:
                 atol=2e-5, rtol=2e-5, err_msg=field,
             )
 
+    def test_proj_impl_variants_agree(self, tiny_config):
+        """The three projection spellings (folded einsum / 2D GEMM+transpose
+        / custom-VJP backward) are pure scheduling variants: identical
+        forward outputs AND gradients with shared params (fp32 here)."""
+        import jax
+        import jax.numpy as jnp
+
+        from vilbert_tpu.models.vilbert import BertModel
+
+        ids, feats, locs = _inputs(tiny_config, B=3)
+        models = {
+            impl: BertModel(tiny_config.replace(proj_impl=impl))
+            for impl in ("einsum", "gemm", "custom_bwd")
+        }
+        params = models["einsum"].init(jax.random.PRNGKey(0), ids, feats, locs)
+
+        def loss(m):
+            def fn(p):
+                out = m.apply(p, ids, feats, locs)
+                return (jnp.sum(jnp.sin(out.sequence_t))
+                        + jnp.sum(jnp.cos(out.sequence_v)))
+            return fn
+
+        ref_l, ref_g = jax.value_and_grad(loss(models["einsum"]))(params)
+        for impl in ("gemm", "custom_bwd"):
+            l, g = jax.value_and_grad(loss(models[impl]))(params)
+            np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-5)
+            jax.tree_util.tree_map_with_path(
+                lambda path, a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                    err_msg=f"{impl}:{path}",
+                ),
+                ref_g, g,
+            )
+
     def test_head_major_dynamic_attention(self, tiny_config):
         """Dynamic-attention gates work in both layouts and agree."""
         import jax

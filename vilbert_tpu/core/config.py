@@ -103,6 +103,16 @@ class ModelConfig:
     # otherwise inserts around every attention dot (~12 ms/step in the
     # round-2 profile). Params stay Dense-compatible (checkpoint parity).
     head_major_attention: bool = True
+    # how the head-major Head/Merge projections are spelled (A/B knob; the
+    # einsum backward makes XLA materialize TWO relayouts of each attention
+    # cotangent — ~6.8 GB/step of layout copies in the round-3 HLO
+    # histogram):
+    # - "einsum": folded einsum fwd+bwd (autodiff),
+    # - "gemm": 2D GEMM + explicit transpose fwd (measured 6% slower — the
+    #   forward pays a materialized transpose the einsum's dot avoids),
+    # - "custom_bwd": einsum forward (bit-identical to "einsum") with a
+    #   custom VJP sharing ONE cotangent relayout between dX/dW (ops/proj.py)
+    proj_impl: str = "einsum"
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):
@@ -115,6 +125,10 @@ class ModelConfig:
         assert self.bi_hidden_size % self.bi_num_attention_heads == 0
         assert self.fusion_method in ("sum", "mul")
         # fail at construction, not as an opaque jnp.dtype error at trace time
+        assert self.proj_impl in ("einsum", "gemm", "custom_bwd"), (
+            f"proj_impl must be 'einsum', 'gemm' or 'custom_bwd', "
+            f"got {self.proj_impl!r}"
+        )
         assert self.softmax_dtype in ("auto", "float32", "bfloat16"), (
             f"softmax_dtype must be 'auto', 'float32' or 'bfloat16', "
             f"got {self.softmax_dtype!r}"

@@ -142,6 +142,20 @@ class HeadProj(nn.Module):
         h = self.num_heads
         d = self.features // h
         cdtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.proj_impl == "gemm":
+            # plain 2D GEMM (bias fused in its epilogue) + ONE transpose to
+            # head-major: autodiff's backward transposes the cotangent back
+            # ONCE and both dX and dW are then copy-free 2D GEMMs.
+            # Measured 6% slower than the einsum (docs/perf.md).
+            B, S, _ = x.shape
+            y = x.astype(cdtype) @ kernel.astype(cdtype) + bias.astype(cdtype)
+            return y.reshape(B, S, h, d).transpose(0, 2, 1, 3)
+        if cfg.proj_impl == "custom_bwd":
+            from vilbert_tpu.ops.proj import head_proj_op
+
+            return head_proj_op(
+                x.astype(cdtype), kernel.astype(cdtype), bias.astype(cdtype), h
+            )
         w = kernel.reshape(x.shape[-1], h, d).astype(cdtype)
         b = bias.reshape(h, d).astype(cdtype)
         return (
@@ -274,6 +288,17 @@ class MergeProj(nn.Module):
             jnp.dtype(cfg.param_dtype),
         )
         cdtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.proj_impl == "gemm":
+            B, _, S, _ = ctx.shape
+            t = ctx.transpose(0, 2, 1, 3).reshape(B * S, h * d)
+            y = t @ kernel.astype(cdtype) + bias.astype(cdtype)
+            return y.reshape(B, S, self.features)
+        if cfg.proj_impl == "custom_bwd":
+            from vilbert_tpu.ops.proj import merge_proj_op
+
+            return merge_proj_op(
+                ctx, kernel.astype(cdtype), bias.astype(cdtype), self.features
+            )
         w = kernel.reshape(h, d, self.features).astype(cdtype)
         return jnp.einsum("bhsd,hdo->bso", ctx, w) + bias.astype(cdtype)
 
