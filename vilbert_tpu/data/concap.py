@@ -356,9 +356,11 @@ class ConceptCapLoader:
     def _iter_parallel(self, slices, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         """Thread-pool batch building, yielded strictly in order.
 
-        Threads (not processes): the tokenizer (Rust) and the numpy kernels
-        release the GIL, and the feature store is mmap'd — on multi-core
-        hosts the builders overlap; determinism is preserved because every
+        Threads (not processes): the numpy region kernels release the GIL
+        and the feature store is mmap'd, so on multi-core hosts the builders
+        overlap — the GIL-held span (pure-Python tokenize/mask bookkeeping)
+        measures only ~6% of a batch build (scripts/loader_scaling.py), a
+        ~17x thread-scaling ceiling. Determinism is preserved because every
         sample's RNG is derived from its key index, not its arrival order."""
         import itertools
         from collections import deque
