@@ -76,6 +76,41 @@ class TestOptimGroups:
             by_label.setdefault(lab, []).append(path)
         assert "head" in by_label and "base" in by_label and "frozen" in by_label
 
+    def test_integer_freeze_expansion(self, tiny_config):
+        """--freeze N expands to text embeddings + text layers 0..N
+        (reference train_tasks.py:381-393) and labels exactly those frozen."""
+        import jax
+
+        from vilbert_tpu.cli.train_tasks import freeze_prefixes
+        from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+        from vilbert_tpu.train.optim import label_params, path_str
+
+        assert freeze_prefixes("-1") == ()
+        assert freeze_prefixes("") == ()
+        assert freeze_prefixes("bert.encoder") == ("bert.encoder",)
+        assert freeze_prefixes("a, b") == ("a", "b")
+        pfx = freeze_prefixes("0")
+        assert pfx == ("bert.embeddings.", "bert.encoder.layer_0.")
+
+        model = ViLBERTForVLTasks(tiny_config)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.ones((2, 8), np.int32),
+            np.ones((2, 5, tiny_config.v_feature_size), np.float32),
+            np.ones((2, 5, 5), np.float32),
+        )["params"]
+        labels = label_params(params, freeze_prefix=pfx)
+        import jax.tree_util as jtu
+
+        for path, lab in jtu.tree_leaves_with_path(labels):
+            p = path_str(path)
+            want = ("frozen" if p.startswith(pfx) else lab)
+            assert lab == want
+            if p.startswith("bert.encoder.layer_1."):
+                assert lab != "frozen", p
+            if p.startswith("bert.embeddings."):
+                assert lab == "frozen", p
+
     def test_frozen_params_unchanged(self, tiny_config):
         import jax
         import jax.numpy as jnp

@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single-stream basebert model (train_tasks.py:232-237)")
     p.add_argument("--resume_file", default="",
                    help="orbax checkpoint dir to resume full training state")
-    p.add_argument("--freeze", default="", help="param path prefix to freeze")
+    p.add_argument("--freeze", default="",
+                   help="param path prefix(es, comma-separated) to freeze; "
+                   "an INTEGER N reproduces the reference semantics (freeze "
+                   "text embeddings + text encoder layers 0..N, reference "
+                   "train_tasks.py:381-393; -1 = nothing)")
     p.add_argument("--train_iter_gap", type=int, default=4)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--task_specific_tokens", action="store_true")
@@ -53,6 +57,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_processes", type=int, default=0)
     p.add_argument("--process_id", type=int, default=-1)
     return p
+
+
+def freeze_prefixes(spec: str):
+    """Expand --freeze into param-path prefixes.
+
+    An integer N reproduces the reference (train_tasks.py:381-393: freeze
+    the params named in the bert weight manifest whose layer number ≤ N —
+    i.e. the TEXT embeddings and text encoder layers 0..N; -1 = none).
+    Otherwise: comma-separated literal path prefixes.
+    """
+    spec = spec.strip()
+    if not spec:
+        return ()
+    try:
+        n = int(spec)
+    except ValueError:
+        return tuple(s.strip() for s in spec.split(",") if s.strip())
+    if n < 0:
+        return ()
+    return ("bert.embeddings.",) + tuple(
+        f"bert.encoder.layer_{i}." for i in range(n + 1)
+    )
 
 
 def _synthetic_world(task_cfgs, tokenizer_vocab):
@@ -134,6 +160,7 @@ def main(argv=None) -> None:
             shard_id=jax.process_index(), num_shards=jax.process_count(),
         )
 
+    freeze = freeze_prefixes(args.freeze)
     opt_cfg = OptimizerConfig(
         name=args.optim,
         learning_rate=args.learning_rate or min(t.lr for t in selected.values()),
@@ -155,7 +182,7 @@ def main(argv=None) -> None:
         model_cfg, selected, loaders,
         opt_cfg=opt_cfg,
         train_cfg=TrainConfig(
-            freeze_prefix=args.freeze,
+            freeze_prefix=freeze,
             train_iter_gap=args.train_iter_gap,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             checkpoint_dir=f"{args.output_dir}/ckpt"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -318,6 +318,9 @@ class TrainConfig:
     checkpoint_every: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
-    freeze_prefix: str = ""        # freeze params whose path starts with this
+    # freeze params whose path starts with this prefix (or any of a tuple of
+    # prefixes — the CLI's integer --freeze N expands to one prefix per
+    # frozen text layer, cli.train_tasks.freeze_prefixes)
+    freeze_prefix: Union[str, Tuple[str, ...]] = ""
     train_iter_gap: int = 4        # gating for stopped tasks (train_tasks.py:516-521)
     prefetch_batches: int = 2      # per-task device prefetch depth (0 = off)

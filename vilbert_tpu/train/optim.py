@@ -399,15 +399,23 @@ def _base_transform(cfg: OptimizerConfig, schedule, params) -> optax.GradientTra
 def label_params(
     params,
     *,
-    freeze_prefix: str = "",
+    freeze_prefix="",
     head_lr: Optional[float] = None,
     pretrained_lr_scale: float = 1.0,
 ) -> Any:
-    """Label each param "frozen" | "head" | "pretrained_scaled" | "base"."""
+    """Label each param "frozen" | "head" | "pretrained_scaled" | "base".
+
+    ``freeze_prefix`` is a param-path prefix or a sequence of them (the
+    reference's integer ``--freeze N`` expands to embeddings + text layers
+    ≤ N, train_tasks.py:381-393 — see cli.train_tasks.freeze_prefixes)."""
+    if isinstance(freeze_prefix, str):
+        prefixes = (freeze_prefix,) if freeze_prefix else ()
+    else:
+        prefixes = tuple(fp for fp in freeze_prefix if fp)
 
     def label(path, _):
         p = path_str(path)
-        if freeze_prefix and p.startswith(freeze_prefix):
+        if prefixes and p.startswith(prefixes):
             return "frozen"
         if head_lr is not None and any(p.startswith(h) for h in HEAD_PREFIXES):
             return "head"
