@@ -113,6 +113,45 @@ def test_training_reduces_losses(world):
     assert len(improved) >= 3, (first, last)
 
 
+def test_eval_due_reference_cadence():
+    """_eval_due reproduces the reference gating (train_tasks.py:583-586):
+    task k evaluates after every iterId that is a nonzero multiple of
+    task_num_iters[k], plus the last step of the last epoch."""
+    from types import SimpleNamespace
+
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    ns = SimpleNamespace(
+        task_num_iters={"A": 5, "B": 12}, median_num_iter=12, grad_accum=1
+    )
+    due = {
+        k: [
+            (e, it)
+            for e in range(2)
+            for it in range(12)
+            if MultiTaskTrainer._eval_due(ns, e, it, 2, k)
+        ]
+        for k in ("A", "B")
+    }
+    # A wraps at iterId 5,10,15,20 (+ final step 23); iterId 0 never fires
+    assert due["A"] == [(0, 5), (0, 10), (1, 3), (1, 8), (1, 11)]
+    # B wraps at iterId 12 (+ final step 23)
+    assert due["B"] == [(1, 0), (1, 11)]
+
+    # grad_accum=2: our iteration covers two reference iterIds; same events
+    ns2 = SimpleNamespace(
+        task_num_iters={"A": 5}, median_num_iter=6, grad_accum=2
+    )
+    due2 = [
+        (e, it)
+        for e in range(2)
+        for it in range(6)
+        if MultiTaskTrainer._eval_due(ns2, e, it, 2, "A")
+    ]
+    # iterId windows [4,6)∋5, [8,10), [14,16)∋15, [18,20)... and final
+    assert due2 == [(0, 2), (0, 5), (1, 1), (1, 4), (1, 5)]
+
+
 def test_eval_feeds_controller(world):
     trainer, _ = world
     r = trainer.evaluate("TASK1", max_batches=2)

@@ -111,6 +111,29 @@ class TestOptimGroups:
             if p.startswith("bert.embeddings."):
                 assert lab == "frozen", p
 
+    def test_vision_scratch_labels(self, tiny_config):
+        """vision_scratch: everything outside the text-BERT manifest trains
+        at head lr (reference train_tasks.py:400-411)."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+        from vilbert_tpu.train.optim import label_params, path_str
+
+        model = ViLBERTForVLTasks(tiny_config)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            np.ones((2, 8), np.int32),
+            np.ones((2, 5, tiny_config.v_feature_size), np.float32),
+            np.ones((2, 5, 5), np.float32),
+        )["params"]
+        labels = label_params(params, head_lr=1e-4, vision_scratch=True)
+        for path, lab in jax.tree_util.tree_leaves_with_path(labels):
+            p = path_str(path)
+            if p.startswith(("bert.embeddings.", "bert.encoder.layer_")):
+                assert lab == "base", p
+            else:
+                assert lab == "head", p
+
     def test_frozen_params_unchanged(self, tiny_config):
         import jax
         import jax.numpy as jnp

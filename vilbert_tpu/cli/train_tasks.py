@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,7 +45,24 @@ def build_parser() -> argparse.ArgumentParser:
                    "text embeddings + text encoder layers 0..N, reference "
                    "train_tasks.py:381-393; -1 = nothing)")
     p.add_argument("--train_iter_gap", type=int, default=4)
+    p.add_argument("--train_iter_multiplier", type=float, default=1.0,
+                   help="scale per-task iterations/epoch (train_tasks.py:339)")
+    p.add_argument("--vision_scratch", action="store_true",
+                   help="train fresh (non-text-BERT) weights at head_lr "
+                   "(train_tasks.py:400-411)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--save_name", default="",
+                   help="suffix for the run directory under output_dir "
+                   "(train_tasks.py:253-261)")
+    p.add_argument("--clean_train_sets", type=lambda s: s.lower() != "false",
+                   default=True, metavar="BOOL",
+                   help="drop test-set image ids from train annotations "
+                   "(train_tasks.py:199-204; default true)")
+    p.add_argument("--eval_cadence", default="reference",
+                   choices=["reference", "epoch"],
+                   help="'reference': evaluate a task each time it wraps its "
+                   "train loader (train_tasks.py:583-586); 'epoch': every "
+                   "task at every epoch end")
     p.add_argument("--task_specific_tokens", action="store_true")
     p.add_argument("--dynamic_attention", action="store_true")
     p.add_argument("--use_pallas", action="store_true")
@@ -158,6 +176,17 @@ def main(argv=None) -> None:
             selected, tokenizer, seed=args.seed,
             grad_accum=args.gradient_accumulation_steps,
             shard_id=jax.process_index(), num_shards=jax.process_count(),
+            clean_train_sets=args.clean_train_sets,
+        )
+
+    if args.save_name:
+        # run directory named like the reference's timeStamp
+        # (train_tasks.py:253-261: tasks + config stem + "-" + save_name)
+        args.output_dir = os.path.join(
+            args.output_dir,
+            "-".join(sorted(selected))
+            + "_" + os.path.splitext(os.path.basename(args.config))[0]
+            + "-" + args.save_name,
         )
 
     freeze = freeze_prefixes(args.freeze)
@@ -167,6 +196,7 @@ def main(argv=None) -> None:
         schedule=args.lr_scheduler,
         warmup_proportion=args.warmup_proportion,
         head_lr=args.head_lr,
+        vision_scratch=args.vision_scratch,
         # reference multi-task AdamW runs WITHOUT bias correction
         # (train_tasks.py:425: AdamW(..., correct_bias=False))
         correct_bias=False,
@@ -184,6 +214,7 @@ def main(argv=None) -> None:
         train_cfg=TrainConfig(
             freeze_prefix=freeze,
             train_iter_gap=args.train_iter_gap,
+            train_iter_multiplier=args.train_iter_multiplier,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             checkpoint_dir=f"{args.output_dir}/ckpt"),
         val_loaders=val_loaders,
@@ -198,7 +229,7 @@ def main(argv=None) -> None:
         step = trainer.restore_checkpoint(directory=args.resume_file)
         logging.info("resumed from %s at step %d (epoch %d)",
                      args.resume_file, step, trainer.epoch)
-    state = trainer.train(args.num_epochs)
+    state = trainer.train(args.num_epochs, eval_cadence=args.eval_cadence)
 
     from vilbert_tpu.core.checkpoint import save_params
 

@@ -304,6 +304,11 @@ class OptimizerConfig:
     schedule: str = "warmup_linear"
     head_lr: Optional[float] = None  # lr override for task heads ("vil_" params)
     pretrained_lr_scale: float = 1.0  # lr multiplier for pretrained BERT params
+    # reference --vision_scratch (train_tasks.py:400-411): when fine-tuning
+    # from a TEXT-ONLY BERT init, everything outside the text stream (vision
+    # stream, co-attention, poolers) is fresh and trains at head_lr; only
+    # the text embeddings + text encoder layers keep base lr
+    vision_scratch: bool = False
     grad_clip_norm: Optional[float] = None
 
 
@@ -323,4 +328,7 @@ class TrainConfig:
     # frozen text layer, cli.train_tasks.freeze_prefixes)
     freeze_prefix: Union[str, Tuple[str, ...]] = ""
     train_iter_gap: int = 4        # gating for stopped tasks (train_tasks.py:516-521)
+    # scales per-task iterations/epoch (reference --train_iter_multiplier,
+    # train_tasks.py:333-341: ave_iter = num_epoch*len(loader)*mult/epochs)
+    train_iter_multiplier: float = 1.0
     prefetch_batches: int = 2      # per-task device prefetch depth (0 = off)

@@ -106,8 +106,13 @@ def load_datasets(
     seed: int = 0,
     with_val: bool = True,
     store_cache: Optional[Dict[str, FeatureStore]] = None,
+    clean_train_sets: bool = True,
 ) -> Tuple[Dict[str, DataLoader], Dict[str, DataLoader]]:
     """Build train (and val) loaders for every task.
+
+    ``clean_train_sets`` drops test-set image ids from the train
+    annotations (the reference's --clean_train_sets, default true,
+    train_tasks.py:199-204).
 
     Returns (train_loaders, val_loaders) keyed like ``tasks``.
     """
@@ -151,8 +156,9 @@ def load_datasets(
                 with open(pool_path, "rb") as f:
                     extra["hard_negative_pool"] = pickle.load(f)
         train_ds = cls(
-            _load_annotations(task, task.train_split), split="train",
-            **common, **extra,
+            _load_annotations(task, task.train_split,
+                              clean_datasets=clean_train_sets),
+            split="train", **common, **extra,
         )
         batch = max(task.batch_size // (grad_accum * num_shards), 1)
         train_loaders[key] = DataLoader(

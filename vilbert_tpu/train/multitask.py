@@ -292,12 +292,18 @@ class MultiTaskTrainer:
             t.num_epoch for t in tasks.values()
         )
         ave_iters = [
-            int(t.num_epoch * len(loaders[k]) / self.num_train_epochs)
+            int(t.num_epoch * len(loaders[k])
+                * self.train_cfg.train_iter_multiplier
+                / self.num_train_epochs)
             for k, t in tasks.items()
         ]
         self.median_num_iter = (
             max(ave_iters) // self.grad_accum if ave_iters else 0
         )
+        #: per-task train-loader length — the reference's task_num_iters
+        #: (task_utils.py:505), which gates per-task evals in the train loop
+        #: (train_tasks.py:583-586)
+        self.task_num_iters = {k: len(loaders[k]) for k in tasks}
 
         self.rng = jax.random.PRNGKey(seed)
         first_key = next(iter(tasks))
@@ -621,15 +627,42 @@ class MultiTaskTrainer:
             )
         return result
 
+    def _eval_due(self, epoch: int, it: int, num_epochs: int, key: str) -> bool:
+        """Reference eval cadence (train_tasks.py:583-599): task ``key`` is
+        evaluated after any reference-iteration ``iterId`` with
+        ``iterId != 0 and iterId % task_num_iters[key] == 0`` — i.e. each
+        time the task wraps its own train loader — and unconditionally at
+        the last step of the last epoch.
+
+        One of our iterations covers ``grad_accum`` reference iterIds
+        (our median_num_iter is the reference's divided by grad_accum,
+        train_tasks.py:352-354), so the check is "does any nonzero multiple
+        of task_num_iters fall in this iteration's iterId window"."""
+        n = self.task_num_iters.get(key, 0)
+        lo = (epoch * self.median_num_iter + it) * self.grad_accum
+        hi = lo + self.grad_accum  # window [lo, hi) of reference iterIds
+        wrapped = n > 0 and (hi - 1) // n > (max(lo, 1) - 1) // n
+        last = (
+            epoch == num_epochs - 1 and it == self.median_num_iter - 1
+        )
+        return wrapped or last
+
     def train(
         self,
         num_epochs: int = 0,
         *,
-        eval_every_epoch: bool = True,
+        eval_cadence: str = "reference",
         lr_drop_epochs: Tuple[int, ...] = (5, 7),
         log_every: int = 20,
         hooks: Optional[list] = None,
     ):
+        """Run the multi-task loop.
+
+        ``eval_cadence``: "reference" follows the reference's per-task
+        loader-wrap gating (train_tasks.py:583-586); "epoch" evaluates
+        every task at every epoch end (simpler, equivalent frequency when
+        every task has num_epoch == num_train_epochs)."""
+        assert eval_cadence in ("reference", "epoch"), eval_cadence
         num_epochs = num_epochs or self.num_train_epochs
         for epoch in range(self.epoch, num_epochs):
             self.epoch = epoch
@@ -649,9 +682,21 @@ class MultiTaskTrainer:
                         for k, m in metrics.items()
                     )
                     logger.info("epoch %d it %d %s", epoch, it + 1, line)
+                if eval_cadence == "reference":
+                    for key, task in self.tasks.items():
+                        if task.val_loader is not None and self._eval_due(
+                            epoch, it, num_epochs, key
+                        ):
+                            r = self.evaluate(key)
+                            logger.info(
+                                "epoch %d it %d eval %s loss %.4f score %.4f"
+                                " in_stop=%s",
+                                epoch, it, key, r["loss"], r["score"],
+                                self.controller.controllers[key].in_stop,
+                            )
                 for hook in hooks or ():
                     hook(epoch, it, self.state, metrics)
-            if eval_every_epoch:
+            if eval_cadence == "epoch":
                 for key, task in self.tasks.items():
                     if task.val_loader is not None:
                         r = self.evaluate(key)

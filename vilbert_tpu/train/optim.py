@@ -396,18 +396,32 @@ def _base_transform(cfg: OptimizerConfig, schedule, params) -> optax.GradientTra
     raise ValueError(cfg.name)
 
 
+#: the param paths the reference's bert weight-name manifest covers — the
+#: ORIGINAL text-BERT modules (config/bert-base-uncased_weight_name.json:
+#: embeddings + encoder.layer.N). Everything else is vision/co-attention/
+#: pooler/head weights that do not exist in a text-only BERT checkpoint.
+TEXT_BERT_PREFIXES = ("bert.embeddings.", "bert.encoder.layer_")
+
+
 def label_params(
     params,
     *,
     freeze_prefix="",
     head_lr: Optional[float] = None,
     pretrained_lr_scale: float = 1.0,
+    vision_scratch: bool = False,
 ) -> Any:
     """Label each param "frozen" | "head" | "pretrained_scaled" | "base".
 
     ``freeze_prefix`` is a param-path prefix or a sequence of them (the
     reference's integer ``--freeze N`` expands to embeddings + text layers
-    ≤ N, train_tasks.py:381-393 — see cli.train_tasks.freeze_prefixes)."""
+    ≤ N, train_tasks.py:381-393 — see cli.train_tasks.freeze_prefixes).
+
+    ``vision_scratch`` labels every param OUTSIDE the text-BERT manifest as
+    "head" (lr 1e-4 in the reference, train_tasks.py:400-411): when the
+    starting checkpoint is a text-only BERT, the fresh vision/co-attention
+    weights train at the head LR while the pretrained text stream keeps
+    base lr."""
     if isinstance(freeze_prefix, str):
         prefixes = (freeze_prefix,) if freeze_prefix else ()
     else:
@@ -418,6 +432,8 @@ def label_params(
         if prefixes and p.startswith(prefixes):
             return "frozen"
         if head_lr is not None and any(p.startswith(h) for h in HEAD_PREFIXES):
+            return "head"
+        if vision_scratch and not p.startswith(TEXT_BERT_PREFIXES):
             return "head"
         if pretrained_lr_scale != 1.0 and p.startswith("bert"):
             return "pretrained_scaled"
@@ -462,11 +478,17 @@ def build_optimizer(
             f"schedule {cfg.schedule!r} carries host state (epoch-level LR "
             "transitions) and requires external_lr=True"
         )
+    if cfg.vision_scratch:
+        assert cfg.head_lr is not None, (
+            "vision_scratch trains the fresh vision weights at head_lr "
+            "(1e-4 in the reference, train_tasks.py:400-411) — set head_lr"
+        )
     labels = label_params(
         params,
         freeze_prefix=freeze_prefix,
         head_lr=cfg.head_lr,
         pretrained_lr_scale=cfg.pretrained_lr_scale,
+        vision_scratch=cfg.vision_scratch,
     )
     schedule = make_schedule(cfg, cfg.learning_rate, total_steps)
 

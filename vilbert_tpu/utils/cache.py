@@ -19,6 +19,14 @@ def enable_compilation_cache(path: str = "") -> None:
     "could lead to execution errors such as SIGILL". CPU runs therefore skip
     the cache entirely.
     """
+    # honor an explicit platform choice WITHOUT touching the backend:
+    # jax.default_backend() initializes the device client, and on a remote
+    # TPU backend that is a network round-trip that can hang a pure-CPU run
+    # (e.g. JAX_PLATFORMS=cpu smoke tests on a box with a TPU tunnel)
+    plats = os.environ.get("JAX_PLATFORMS", "").lower()
+    if plats and "tpu" not in plats and "axon" not in plats:
+        return
+
     import jax
 
     if jax.default_backend() != "tpu":
@@ -41,6 +49,17 @@ def setup_tpu_defaults() -> None:
     where counter-exactness of threefry isn't required.
     """
     import jax
+
+    # Some PJRT plugins register themselves irrespective of the JAX_PLATFORMS
+    # environment variable (only the programmatic config restricts them), so a
+    # CPU-forced run could still open — and block on — a remote TPU backend.
+    # Re-assert the env choice programmatically before any backend init.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats:
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
 
     enable_compilation_cache()
     try:
