@@ -318,8 +318,166 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
     )
 
 
+def bench_multitask() -> None:
+    """12-in-1 multi-task training throughput (BASELINE.json's first metric).
+
+    One round-robin iteration over three flagship tasks covering the three
+    distinct compile units / process modes of the recipe (tasks.yml shapes):
+    VQA (normal, [128, 23, 101]), VCR Q->A (expand 4 options, [64, 60, 101]),
+    NLVR2 (pair split, [64, 40, 101]) — per-task compiled steps with the
+    reference's external-LR semantics, exactly the production
+    MultiTaskTrainer path. Reports aggregate dataset-samples/s/chip.
+    Run: python bench.py --multitask [--config <json>] [--scale N]
+
+    ``scale`` divides every per-task batch size (CPU smoke: --scale 32)."""
+    import sys
+
+    import jax
+
+    from vilbert_tpu.utils.cache import setup_tpu_defaults
+
+    setup_tpu_defaults()
+
+    from vilbert_tpu.core.config import (
+        ModelConfig, OptimizerConfig, TaskConfig,
+    )
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    config_json = (sys.argv[sys.argv.index("--config") + 1]
+                   if "--config" in sys.argv
+                   else "configs/bert_base_6layer_6conect.json")
+    scale = (int(sys.argv[sys.argv.index("--scale") + 1])
+             if "--scale" in sys.argv else 1)
+    cfg = ModelConfig.from_json_file(
+        config_json, compute_dtype="bfloat16", task_specific_tokens=True,
+    )
+    rng = np.random.RandomState(0)
+
+    def mk_batch(B, T, R, process, num_labels):
+        b = {
+            "features": rng.randn(B, R, 2048).astype(np.float32),
+            "spatials": rng.rand(B, R, 5).astype(np.float32),
+            "image_mask": np.ones((B, R), np.int32),
+            "question": rng.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "segment_ids": np.zeros((B, T), np.int32),
+        }
+        if process == "expand":  # 4 answer options share one image
+            for k in ("question", "input_mask", "segment_ids"):
+                b[k] = np.repeat(b[k][:, None], 4, axis=1)
+            b["target"] = rng.randint(0, 4, (B,)).astype(np.int32)
+        elif process == "nlvr":  # image pair in 2R rows
+            for k in ("features", "spatials"):
+                b[k] = np.concatenate([b[k], b[k]], axis=1)
+            b["image_mask"] = np.ones((B, 2 * b["image_mask"].shape[1]), np.int32)
+            b["target"] = rng.randint(0, 2, (B,)).astype(np.int32)
+        else:
+            t = rng.rand(B, num_labels).astype(np.float32)
+            b["target"] = (t == t.max(-1, keepdims=True)).astype(np.float32)
+        return b
+
+    class Loader:
+        def __init__(self, batch, n=64):
+            self.batch, self.n = batch, n
+            self.batch_size = batch["question"].shape[0]
+
+        def __iter__(self):
+            return iter([self.batch] * self.n)
+
+        def __len__(self):
+            return self.n
+
+    tasks = {
+        "TASK1": TaskConfig(task_id=1, name="VQA", type="VL-classifier",
+                            loss="BCEWithLogitLoss", process="normal",
+                            batch_size=128, lr=4e-5, num_epoch=20,
+                            num_labels=3129),
+        "TASK5": TaskConfig(task_id=5, name="VCR_Q-A", type="VL-logit",
+                            loss="CrossEntropyLoss", process="expand",
+                            batch_size=64, lr=2e-5, num_epoch=10),
+        "TASK12": TaskConfig(task_id=12, name="NLVR2",
+                             type="VL-binary-classifier",
+                             loss="CrossEntropyLoss", process="nlvr",
+                             batch_size=64, lr=2e-5, num_epoch=20),
+    }
+    loaders = {
+        "TASK1": Loader(mk_batch(max(128 // scale, 2), 23, 101, "normal", 3129)),
+        "TASK5": Loader(mk_batch(max(64 // scale, 2), 60, 101, "expand", 0)),
+        "TASK12": Loader(mk_batch(max(64 // scale, 2), 40, 101, "nlvr", 0)),
+    }
+    trainer = MultiTaskTrainer(
+        cfg, tasks, loaders,
+        opt_cfg=OptimizerConfig(
+            learning_rate=2e-5, schedule="warmup_linear",
+            warmup_proportion=0.1, head_lr=1e-4, correct_bias=False,
+        ),
+        num_labels=3129,
+    )
+    samples_per_iter = sum(l.batch_size for l in loaders.values())
+
+    for it in range(WARMUP_STEPS):
+        metrics = trainer.train_iteration(it)
+    for m in metrics.values():  # force the chains (see module docstring)
+        float(m["loss"])
+
+    t0 = time.perf_counter()
+    for it in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS):
+        metrics = trainer.train_iteration(it)
+    losses = {k: float(m["loss"]) for k, m in metrics.items()}
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in losses.values()), losses
+
+    rate = samples_per_iter * MEASURE_STEPS / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "multitask_12in1_samples_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(rate / REFERENCE_SAMPLES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+def _device_init_watchdog(budget_s: float = 900.0) -> None:
+    """Fail FAST (with a diagnosable message) instead of hanging forever.
+
+    On this box the TPU is a remote PJRT tunnel; when the tunnel is down the
+    first jax.devices() blocks indefinitely inside make_c_api_client (observed
+    2026-08-17). A daemon timer hard-exits if the backend doesn't come up
+    within the budget so the driver records a clear failure, not a timeout."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(budget_s):
+            sys.stderr.write(
+                f"bench: device backend failed to initialize within "
+                f"{budget_s:.0f}s — TPU tunnel down? aborting\n"
+            )
+            sys.stderr.flush()
+            os._exit(17)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+    import jax
+
+    # honor an explicit platform choice (some PJRT plugins ignore the env
+    # var — programmatic config is the only restriction that sticks)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    jax.devices()  # blocks here iff the tunnel is down
+    done.set()
+
+
 if __name__ == "__main__":
     import sys
+
+    _device_init_watchdog()
 
     def _arg(flag, default=0):
         return (int(sys.argv[sys.argv.index(flag) + 1])
@@ -331,6 +489,8 @@ if __name__ == "__main__":
 
     if "--eval" in sys.argv:
         bench_vqa_eval(no_head_major="--no_head_major" in sys.argv)
+    elif "--multitask" in sys.argv:
+        bench_multitask()
     elif "--e2e" in sys.argv:
         bench_e2e(num_workers=_arg("--workers"))
     elif "--large" in sys.argv:
