@@ -4,6 +4,19 @@ import numpy as np
 import pytest
 
 
+def test_visual_target_forces_feature_space_targets():
+    """visual_target 1/2 predict in feature space: v_target_size must track
+    v_feature_size (reference train_concap.py:355-360 hardcodes 2048)."""
+    from vilbert_tpu.core.config import ModelConfig
+
+    assert ModelConfig(visual_target=0).v_target_size == 1601
+    for vt in (1, 2):
+        cfg = ModelConfig(visual_target=vt)
+        assert cfg.v_target_size == cfg.v_feature_size == 2048
+    cfg = ModelConfig(visual_target=2, v_feature_size=64, v_target_size=11)
+    assert cfg.v_target_size == 64
+
+
 def test_softmax_dtype_typo_rejected_at_construction():
     from vilbert_tpu.core.config import ModelConfig
 

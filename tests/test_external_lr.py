@@ -77,6 +77,7 @@ def _two_task_trainer(tiny_config, task_keys, opt_cfg):
                             num_labels=13, seed=0)
 
 
+@pytest.mark.slow
 def test_multitask_lr_follows_iterations(tiny_config):
     """LR comes from the iteration counter, with the reference's
     first-task quirk (train_tasks.py:548-556): in iteration i the first

@@ -92,6 +92,7 @@ def test_loss_scales_follow_task_lrs(world):
     assert trainer.opt_cfg.learning_rate == pytest.approx(2e-4)
 
 
+@pytest.mark.slow
 def test_round_robin_trains_all_tasks(world):
     trainer, tasks = world
     metrics = trainer.train_iteration(0)
@@ -101,6 +102,7 @@ def test_round_robin_trains_all_tasks(world):
         assert 0.0 <= float(m["score"]) <= 1.0, key
 
 
+@pytest.mark.slow
 def test_training_reduces_losses(world):
     trainer, _ = world
     first, last = {}, {}

@@ -102,6 +102,7 @@ class TestFusedAttentionTrain:
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
         assert np.isfinite(np.asarray(g1)).all()
 
+    @pytest.mark.slow
     def test_model_training_step_with_pallas(self, tiny_config):
         """Full pretraining step with pallas attention + dropout active."""
         import jax

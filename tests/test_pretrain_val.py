@@ -1,6 +1,7 @@
 """CC pretraining validation pass (reference train_concap.py:608-654)."""
 
 import numpy as np
+import pytest
 
 
 def _batches(cfg, n, batch=8, seq=9, regions=6, seed=3):
@@ -26,6 +27,7 @@ def _batches(cfg, n, batch=8, seq=9, regions=6, seed=3):
     return out
 
 
+@pytest.mark.slow
 def test_validation_pass_means_and_history(tiny_config):
     import jax
 
@@ -71,3 +73,48 @@ def test_validation_pass_means_and_history(tiny_config):
     assert all(np.isfinite(m["loss"]) for _, m in history)
     # training should not increase val loss on the same tiny distribution
     assert history[-1][1]["loss"] <= metrics["loss"] * 1.5
+
+
+def test_baseline_pretraining_and_freeze(tiny_config):
+    """--baseline pretrains the single-stream model (reference
+    train_concap.py:397-414) and --freeze keeps the frozen text prefix
+    untouched (train_concap.py:171-176)."""
+    import jax
+
+    from vilbert_tpu.cli.train_tasks import freeze_prefixes
+    from vilbert_tpu.core.config import OptimizerConfig
+    from vilbert_tpu.train.pretrain import run_pretraining
+
+    from vilbert_tpu.models.basebert import BaseBertForPretraining
+    from vilbert_tpu.train.optim import path_str
+
+    cfg = tiny_config
+    train = _batches(cfg, 2)
+    b0 = train[0]
+    init = BaseBertForPretraining(cfg).init(
+        jax.random.PRNGKey(0), b0["input_ids"], b0["image_feat"],
+        b0["image_loc"],
+    )["params"]
+    # numpy snapshot: the jitted step donates the state, deleting `init`
+    flat_init = dict(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(init))
+    )
+    history = []
+    prefixes = freeze_prefixes("0")
+    state = run_pretraining(
+        cfg, OptimizerConfig(learning_rate=1e-3), train,
+        num_steps=3, log_every=0, model_family="basebert",
+        freeze_prefix=prefixes, init_params=init,
+        val_loader=train[:1], val_history=history,
+    )
+    assert history and np.isfinite(history[-1][1]["loss"])
+    # frozen prefix (text embeddings + layer 0) unchanged; the rest trained
+    frozen = trained = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        before, after = np.asarray(flat_init[path]), np.asarray(leaf)
+        if path_str(path).startswith(tuple(prefixes)):
+            np.testing.assert_array_equal(before, after, err_msg=path_str(path))
+            frozen += 1
+        elif not np.array_equal(before, after):
+            trained += 1
+    assert frozen > 4 and trained > 4, (frozen, trained)

@@ -121,6 +121,7 @@ def test_baseline_family_trains():
         assert np.isfinite(float(m["loss"])), k
 
 
+@pytest.mark.slow
 def test_gradient_accumulation():
     # one iteration scans ga divided batches and steps once; the iteration
     # count shrinks by ga so optimization steps match the reference's

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_multitask_save_restore(tiny_config, tmp_path):
     import jax
 

@@ -90,7 +90,11 @@ class TestOptimGroups:
         assert freeze_prefixes("bert.encoder") == ("bert.encoder",)
         assert freeze_prefixes("a, b") == ("a", "b")
         pfx = freeze_prefixes("0")
-        assert pfx == ("bert.embeddings.", "bert.encoder.layer_0.")
+        # both family spellings (vilbert bert.encoder.layer_N, basebert
+        # bert.layer_N); unmatched prefixes are inert
+        assert pfx == (
+            "bert.embeddings.", "bert.encoder.layer_0.", "bert.layer_0.",
+        )
 
         model = ViLBERTForVLTasks(tiny_config)
         params = model.init(
@@ -191,6 +195,7 @@ class TestOptimGroups:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_pretrain_loss_decreases_on_mesh(self, tiny_config):
         """Synthetic CC pretraining on the 8-device CPU mesh: loss decreases,
         params stay replicated."""
@@ -257,6 +262,7 @@ class TestEndToEnd:
         kernel = state.params["bert"]["t_pooler"]["dense"]["kernel"]
         assert kernel.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_grad_accum_equivalence(self, tiny_config):
         """accum=2 over half-batches == accum=1 over the full batch."""
         import jax

@@ -46,6 +46,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--pretrained_lr_scale", type=float, default=1.0,
                    help="lr multiplier for loaded BERT params (reference 0.1)")
+    p.add_argument("--baseline", action="store_true",
+                   help="pretrain the single-stream baseline "
+                        "(reference train_concap.py:397-414)")
+    p.add_argument("--adam_epsilon", type=float, default=1e-8,
+                   help="AdamW epsilon (train_concap.py:225)")
+    p.add_argument("--num_negative", type=int, default=128,
+                   help="NCE negatives for visual_target=2 (vilbert.py:1523)")
+    p.add_argument("--freeze", type=int, default=-1,
+                   help="freeze text embeddings + text layers 0..N "
+                        "(train_concap.py:171-176; -1 = nothing)")
+    p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--without_coattention", action="store_true",
+                   help="disable the co-attention blocks (vilbert.py:1055)")
+    p.add_argument("--save_name", default="",
+                   help="suffix for the run directory under output_dir")
+    p.add_argument("--resume_file", default="",
+                   help="orbax checkpoint dir to resume (params + opt state)")
+    p.add_argument("--start_step", type=int, default=-1,
+                   help="override the resume step (-1: from the checkpoint)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shard_id", type=int, default=-1,
                    help="-1 = this process's index (multi-host) or 0")
@@ -110,7 +129,14 @@ def main(argv=None) -> None:
         visual_target=args.visual_target,
         use_pallas_attention=args.use_pallas,
         remat=args.remat,
+        num_negative=args.num_negative,
+        dynamic_attention=args.dynamic_attention,
+        with_coattention=not args.without_coattention,
     )
+    if args.save_name:
+        import os
+
+        args.output_dir = os.path.join(args.output_dir, args.save_name)
     tokenizer = load_tokenizer(args.vocab or None, model_cfg.vocab_size)
 
     val_store = val_captions = None
@@ -171,7 +197,7 @@ def main(argv=None) -> None:
         warmup_proportion=args.warmup_proportion,
         schedule="warmup_linear",
         beta2=0.98,  # reference AdamW betas for concap (train_concap.py:467)
-        eps=1e-8,    # reference --adam_epsilon default (train_concap.py:225)
+        eps=args.adam_epsilon,  # reference --adam_epsilon (train_concap.py:225)
         pretrained_lr_scale=args.pretrained_lr_scale,
     )
 
@@ -180,9 +206,11 @@ def main(argv=None) -> None:
         import jax
 
         from vilbert_tpu.core.checkpoint import load_params, load_pretrained_torch
-        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.train.pretrain import _pretrain_model
 
-        model = ViLBERTForPretraining(model_cfg)
+        model = _pretrain_model(
+            model_cfg, "basebert" if args.baseline else "vilbert"
+        )
         batch0 = next(iter(loader))
         template = model.init(
             jax.random.PRNGKey(0), batch0["input_ids"], batch0["image_feat"],
@@ -212,6 +240,8 @@ def main(argv=None) -> None:
 
         hooks.append(ckpt_hook)
 
+    from vilbert_tpu.cli.train_tasks import freeze_prefixes
+
     state = run_pretraining(
         model_cfg, opt_cfg, loader,
         num_steps=num_steps, seed=args.seed, img_weight=args.img_weight,
@@ -221,6 +251,10 @@ def main(argv=None) -> None:
         ),
         val_loader=val_loader, val_every=val_every,
         hooks=hooks,
+        model_family="basebert" if args.baseline else "vilbert",
+        freeze_prefix=freeze_prefixes(str(args.freeze)),
+        resume_dir=args.resume_file,
+        start_step=args.start_step,
     )
     if args.checkpoint_every:
         mngr.mngr.wait_until_finished()  # drain pending async saves

@@ -94,8 +94,13 @@ def freeze_prefixes(spec: str):
         return tuple(s.strip() for s in spec.split(",") if s.strip())
     if n < 0:
         return ()
+    # both family spellings: two-stream vilbert nests text layers under
+    # bert.encoder.layer_N, the single-stream baseline under bert.layer_N
+    # (prefixes that match nothing are inert)
     return ("bert.embeddings.",) + tuple(
         f"bert.encoder.layer_{i}." for i in range(n + 1)
+    ) + tuple(
+        f"bert.layer_{i}." for i in range(n + 1)
     )
 
 

@@ -116,6 +116,12 @@ class ModelConfig:
     remat: bool = False  # jax.checkpoint each encoder block
 
     def __post_init__(self):
+        if self.visual_target != 0 and self.v_target_size != self.v_feature_size:
+            # feature-space region targets (MSE regression / NCE): the image
+            # head must predict v_feature_size dims, not the 1601-class
+            # detector distribution (reference train_concap.py:355-360 sets
+            # v_target_size 2048 for visual_target 1/2)
+            object.__setattr__(self, "v_target_size", self.v_feature_size)
         assert len(self.v_biattention_id) == len(self.t_biattention_id)
         if self.v_biattention_id:
             assert max(self.v_biattention_id) < self.v_num_hidden_layers

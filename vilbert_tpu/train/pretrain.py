@@ -103,6 +103,17 @@ def make_pretrain_loss_fn(
     return loss_fn
 
 
+def _pretrain_model(model_cfg: ModelConfig, model_family: str):
+    """Model for pretraining: two-stream ViLBERT or the single-stream
+    baseline (reference --baseline, train_concap.py:397-414)."""
+    if model_family == "basebert":
+        from vilbert_tpu.models.basebert import BaseBertForPretraining
+
+        return BaseBertForPretraining(model_cfg)
+    assert model_family == "vilbert", model_family
+    return ViLBERTForPretraining(model_cfg)
+
+
 def evaluate_pretraining(
     model_cfg: ModelConfig,
     params,
@@ -113,6 +124,7 @@ def evaluate_pretraining(
     mesh=None,
     seed: int = 0,
     max_batches: int = 0,
+    model_family: str = "vilbert",
 ) -> Dict[str, float]:
     """Full validation pass with the three pretraining losses.
 
@@ -128,7 +140,7 @@ def evaluate_pretraining(
     from vilbert_tpu.data.prefetch import compress_for_transfer
     from vilbert_tpu.parallel.mesh import batch_sharding
 
-    model = ViLBERTForPretraining(model_cfg)
+    model = _pretrain_model(model_cfg, model_family)
     loss_fn = make_pretrain_loss_fn(
         model, model_cfg, img_weight=img_weight, deterministic=True,
         lm_gather=lm_gather,
@@ -192,6 +204,10 @@ def run_pretraining(
     val_every: int = 0,
     val_history: Optional[list] = None,
     hooks: Optional[list] = None,
+    model_family: str = "vilbert",
+    freeze_prefix="",
+    resume_dir: str = "",
+    start_step: int = -1,
 ) -> TrainState:
     """Minimal pretraining driver; CLI wiring lives in cli/train_concap.py.
 
@@ -199,11 +215,16 @@ def run_pretraining(
     per-epoch val loop, train_concap.py:608-654) runs every ``val_every``
     steps (default: once after the final step); results are logged and
     appended to ``val_history`` as (step, metrics dict) when provided.
+
+    ``model_family="basebert"`` pretrains the single-stream baseline
+    (reference --baseline, train_concap.py:397-414); ``freeze_prefix``
+    freezes param-path prefixes exactly like the multi-task trainer
+    (reference --freeze on train_concap.py:171-176).
     """
     from vilbert_tpu.data.prefetch import device_prefetch, repeat_iterator
 
     mesh = mesh or make_mesh()
-    model = ViLBERTForPretraining(model_cfg)
+    model = _pretrain_model(model_cfg, model_family)
     rng = jax.random.PRNGKey(seed)
 
     batches = repeat_iterator(lambda: iter(train_loader))
@@ -223,8 +244,18 @@ def run_pretraining(
     # step_offset=1: the reference steps the LR scheduler BEFORE the
     # optimizer (train_concap.py:583-586) — update k trains at λ(k), k≥1
     tx, schedule = build_optimizer(opt_cfg, init_params, num_steps,
-                                   step_offset=1)
+                                   step_offset=1, freeze_prefix=freeze_prefix)
     state = TrainState.create(init_params, tx)
+    first_step = 0
+    if resume_dir:
+        # full-state resume (params + optimizer + step), reference
+        # --resume_file/--start_epoch (train_concap.py:416-438)
+        from vilbert_tpu.core.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(resume_dir)
+        state, _, ckpt_step = mngr.restore(state)
+        first_step = start_step if start_step >= 0 else ckpt_step
+        logger.info("resumed from %s at step %d", resume_dir, first_step)
     state = TrainState(*replicate_pytree(tuple(state), mesh))
 
     loss_fn = make_pretrain_loss_fn(
@@ -287,6 +318,7 @@ def run_pretraining(
         metrics = evaluate_pretraining(
             model_cfg, state.params, val_loader,
             img_weight=img_weight, lm_gather=lm_gather, mesh=mesh,
+            model_family=model_family,
         )
         logger.info(
             "validation @ step %d: loss %.4f (t %.4f v %.4f nsp %.4f)",
@@ -299,7 +331,7 @@ def run_pretraining(
             val_history.append((step, metrics))
 
     t0 = time.perf_counter()
-    for step in range(num_steps):
+    for step in range(first_step, num_steps):
         batch = next(stream)
         batch.pop("image_id", None)
         rng, step_rng = jax.random.split(rng)
