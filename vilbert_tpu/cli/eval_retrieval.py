@@ -37,6 +37,9 @@ def main(argv=None) -> None:
     p.add_argument("--vocab", default="")
     p.add_argument("--params", default="")
     p.add_argument("--zero_shot", action="store_true")
+    p.add_argument("--baseline", action="store_true",
+                   help="score with the single-stream baseline "
+                        "(reference eval_retrieval.py --baseline)")
     p.add_argument("--pool_size", type=int, default=1000)
     p.add_argument("--chunk", type=int, default=500)
     p.add_argument("--max_seq_length", type=int, default=30)
@@ -138,9 +141,18 @@ def main(argv=None) -> None:
                    "target_index": pool_index[image_id]}
 
     if args.zero_shot:
-        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        if args.baseline:
+            from vilbert_tpu.models.basebert import BaseBertForPretraining
 
-        model = ViLBERTForPretraining(model_cfg)
+            model = BaseBertForPretraining(model_cfg)
+        else:
+            from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+
+            model = ViLBERTForPretraining(model_cfg)
+    elif args.baseline:
+        from vilbert_tpu.models.basebert import BaseBertForVLTasks
+
+        model = BaseBertForVLTasks(model_cfg)
     else:
         from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
 

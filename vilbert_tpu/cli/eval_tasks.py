@@ -28,6 +28,12 @@ def main(argv=None) -> None:
     p.add_argument("--output_dir", default="results")
     p.add_argument("--split", default="val")
     p.add_argument("--task_specific_tokens", action="store_true")
+    p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--baseline", action="store_true",
+                   help="evaluate the single-stream baseline "
+                        "(reference eval_tasks.py:236-252)")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="override the per-task eval batch size")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args(argv)
@@ -45,10 +51,18 @@ def main(argv=None) -> None:
     model_cfg = ModelConfig.from_json_file(
         args.config,
         task_specific_tokens=args.task_specific_tokens,
+        dynamic_attention=args.dynamic_attention,
         use_pallas_attention=args.use_pallas,
     )
     all_tasks = load_task_configs(args.tasks_yml)
     selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}
+    if args.batch_size:
+        import dataclasses
+
+        selected = {
+            k: dataclasses.replace(t, eval_batch_size=args.batch_size)
+            for k, t in selected.items()
+        }
 
     if args.synthetic:
         from vilbert_tpu.cli.train_tasks import _synthetic_world
@@ -84,7 +98,12 @@ def main(argv=None) -> None:
             )
             return None
 
-    model = ViLBERTForVLTasks(model_cfg)
+    if args.baseline:
+        from vilbert_tpu.models.basebert import BaseBertForVLTasks
+
+        model = BaseBertForVLTasks(model_cfg)
+    else:
+        model = ViLBERTForVLTasks(model_cfg)
     first = next(iter(next(iter(loaders.values()))))
     params = model.init(
         jax.random.PRNGKey(0),
