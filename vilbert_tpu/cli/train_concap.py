@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="freeze text embeddings + text layers 0..N "
                         "(train_concap.py:171-176; -1 = nothing)")
     p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--bert_model", default="bert-base-uncased",
+                   help="'roberta' selects RoBERTa embeddings "
+                        "(train_concap.py:345-352)")
     p.add_argument("--without_coattention", action="store_true",
                    help="disable the co-attention blocks (vilbert.py:1055)")
     p.add_argument("--save_name", default="",
@@ -132,6 +135,7 @@ def main(argv=None) -> None:
         num_negative=args.num_negative,
         dynamic_attention=args.dynamic_attention,
         with_coattention=not args.without_coattention,
+        model="roberta" if "roberta" in args.bert_model else "bert",
     )
     if args.save_name:
         import os

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'reference': evaluate a task each time it wraps its "
                    "train loader (train_tasks.py:583-586); 'epoch': every "
                    "task at every epoch end")
+    p.add_argument("--bert_model", default="bert-base-uncased",
+                   help="'roberta' selects RoBERTa embeddings "
+                        "(train_tasks.py:359-360)")
     p.add_argument("--task_specific_tokens", action="store_true")
     p.add_argument("--dynamic_attention", action="store_true")
     p.add_argument("--use_pallas", action="store_true")
@@ -166,6 +169,7 @@ def main(argv=None) -> None:
         task_specific_tokens=args.task_specific_tokens,
         dynamic_attention=args.dynamic_attention,
         use_pallas_attention=args.use_pallas,
+        model="roberta" if "roberta" in args.bert_model else "bert",
     )
     all_tasks = load_task_configs(args.tasks_yml)
     selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}
