@@ -34,10 +34,11 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
 
-def bench_vqa_eval(no_head_major: bool = False) -> None:
+def bench_vqa_eval(no_head_major: bool = False, int8: bool = False) -> None:
     """Secondary metric (BASELINE.json): VQA eval questions/sec — jitted
     vil_prediction forward at the reference eval shapes (seq 23, 101 regions,
-    eval batch 1024 per vilbert_tasks.yml TASK1). Run: python bench.py --eval"""
+    eval batch 1024 per vilbert_tasks.yml TASK1). Run: python bench.py --eval
+    [--int8] (dynamic int8 matmuls, ops/quant.py — v5e int8 MXU is 2x bf16)"""
     import jax
 
     from vilbert_tpu.core.config import ModelConfig
@@ -47,7 +48,7 @@ def bench_vqa_eval(no_head_major: bool = False) -> None:
     setup_tpu_defaults()
     cfg = ModelConfig.from_json_file(
         "configs/bert_base_6layer_6conect.json", compute_dtype="bfloat16",
-        head_major_attention=not no_head_major,
+        head_major_attention=not no_head_major, int8_matmul=int8,
     )
     model = ViLBERTForVLTasks(cfg)
     B, T, R = 1024, 23, 101
@@ -75,7 +76,8 @@ def bench_vqa_eval(no_head_major: bool = False) -> None:
     dt = time.perf_counter() - t0
     qps = B * steps / dt / jax.device_count()
     print(json.dumps({
-        "metric": "vqa_eval_questions_per_sec_per_chip",
+        "metric": "vqa_eval_questions_per_sec_per_chip"
+                  + ("_int8" if int8 else ""),
         "value": round(qps, 2), "unit": "questions/s/chip",
         "vs_baseline": round(qps / 800.0, 3),  # est. reference V100 eval q/s
     }))
@@ -488,7 +490,8 @@ if __name__ == "__main__":
                 if flag in sys.argv else default)
 
     if "--eval" in sys.argv:
-        bench_vqa_eval(no_head_major="--no_head_major" in sys.argv)
+        bench_vqa_eval(no_head_major="--no_head_major" in sys.argv,
+                       int8="--int8" in sys.argv)
     elif "--multitask" in sys.argv:
         bench_multitask()
     elif "--e2e" in sys.argv:

@@ -34,6 +34,8 @@ def main(argv=None) -> None:
                         "(reference eval_tasks.py:236-252)")
     p.add_argument("--batch_size", type=int, default=0,
                    help="override the per-task eval batch size")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic int8 matmuls for inference (ops/quant.py)")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args(argv)
@@ -53,6 +55,7 @@ def main(argv=None) -> None:
         task_specific_tokens=args.task_specific_tokens,
         dynamic_attention=args.dynamic_attention,
         use_pallas_attention=args.use_pallas,
+        int8_matmul=args.int8,
     )
     all_tasks = load_task_configs(args.tasks_yml)
     selected = {f"TASK{n}": all_tasks[f"TASK{n}"] for n in args.tasks.split("-")}

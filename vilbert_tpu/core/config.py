@@ -114,6 +114,12 @@ class ModelConfig:
     #   custom VJP sharing ONE cotangent relayout between dX/dW (ops/proj.py)
     proj_impl: str = "einsum"
     remat: bool = False  # jax.checkpoint each encoder block
+    # INFERENCE-ONLY: dynamic int8 matmuls (ops/quant.py) — per-tensor
+    # activation / per-channel weight symmetric quantization in-graph; the
+    # v5e MXU runs int8 at 2x the bf16 rate. Checkpoints are unchanged
+    # (weights stay fp32/bf16; quantize happens in the forward). No custom
+    # gradient rules: training with this flag is undefined behavior.
+    int8_matmul: bool = False
 
     def __post_init__(self):
         if self.visual_target != 0 and self.v_target_size != self.v_feature_size:

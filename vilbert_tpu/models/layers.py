@@ -63,7 +63,39 @@ class LayerNorm(nn.Module):
         )
 
 
+class QuantDense(nn.Module):
+    """nn.Dense-compatible layer computing y = int8(x) @ int8(kernel) + bias.
+
+    Param tree identical to nn.Dense (kernel [in, features], bias) so
+    checkpoints round-trip unchanged; only the arithmetic differs
+    (ops/quant.py — inference-only dynamic int8)."""
+
+    features: int
+    config: ModelConfig
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from vilbert_tpu.ops.quant import int8_dense
+
+        cfg = self.config
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=cfg.initializer_range),
+            (x.shape[-1], self.features), jnp.dtype(cfg.param_dtype),
+        )
+        y = int8_dense(x, kernel, jnp.dtype(cfg.compute_dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.dtype(cfg.param_dtype),
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def _dense(cfg: ModelConfig, features: int, name: str, use_bias: bool = True):
+    if cfg.int8_matmul:
+        return QuantDense(features, cfg, use_bias=use_bias, name=name)
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -142,6 +174,12 @@ class HeadProj(nn.Module):
         h = self.num_heads
         d = self.features // h
         cdtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.int8_matmul:
+            from vilbert_tpu.ops.quant import int8_head_proj
+
+            w = kernel.reshape(x.shape[-1], h, d)
+            b = bias.reshape(h, d).astype(cdtype)
+            return int8_head_proj(x, w, cdtype) + b[None, :, None, :]
         if cfg.proj_impl == "gemm":
             # plain 2D GEMM (bias fused in its epilogue) + ONE transpose to
             # head-major: autodiff's backward transposes the cotangent back
@@ -288,6 +326,10 @@ class MergeProj(nn.Module):
             jnp.dtype(cfg.param_dtype),
         )
         cdtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.int8_matmul:
+            from vilbert_tpu.ops.quant import int8_merge_proj
+
+            return int8_merge_proj(ctx, kernel, cdtype) + bias.astype(cdtype)
         if cfg.proj_impl == "gemm":
             B, _, S, _ = ctx.shape
             t = ctx.transpose(0, 2, 1, 3).reshape(B * S, h * d)
