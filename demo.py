@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--max_seq_length", type=int, default=30)
     p.add_argument("--max_region_num", type=int, default=37)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic int8 inference matmuls (ops/quant.py)")
     args = p.parse_args()
 
     from vilbert_tpu.utils.cache import enable_compilation_cache
@@ -49,7 +51,7 @@ def main() -> None:
     from vilbert_tpu.data.tokenization import add_special_single, load_tokenizer
     from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
 
-    cfg = ModelConfig.from_json_file(args.config)
+    cfg = ModelConfig.from_json_file(args.config, int8_matmul=args.int8)
     tokenizer = load_tokenizer(args.vocab or None, cfg.vocab_size)
     store = (
         InMemoryFeatureStore.synthetic(num_images=4, num_boxes=36)

@@ -248,3 +248,52 @@ def test_bf16_compressed_feature_transfer_trains():
     batch = rt.next_batch()
     assert batch["features"].dtype == jnp.bfloat16
     assert np.isfinite(float(metrics["TASK1"]["loss"]))
+
+
+def test_train_loop_reference_cadence():
+    """trainer.train(eval_cadence='reference') evaluates exactly when a task
+    wraps its loader + at the final step, feeding the stop controller."""
+    import jax
+
+    from vilbert_tpu.core.config import ModelConfig, OptimizerConfig, TaskConfig
+    from vilbert_tpu.data import synthetic as syn
+    from vilbert_tpu.data.tasks import DataLoader, VQADataset
+    from vilbert_tpu.data.tokenization import HashTokenizer
+    from vilbert_tpu.train.multitask import MultiTaskTrainer
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32, max_position_embeddings=32,
+        v_feature_size=8, v_hidden_size=16, v_num_hidden_layers=1,
+        v_num_attention_heads=2, v_intermediate_size=32, v_target_size=5,
+        bi_hidden_size=16, bi_num_attention_heads=2,
+        v_biattention_id=(0,), t_biattention_id=(0,),
+        compute_dtype="float32", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, v_hidden_dropout_prob=0.0,
+        v_attention_probs_dropout_prob=0.0,
+    )
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    store = syn.synthetic_store(num_images=8, num_boxes=4, feature_dim=8)
+    task = {"TASK1": TaskConfig(
+        task_id=1, name="VQA", type="VL-classifier", loss="BCEWithLogitLoss",
+        process="normal", max_seq_length=8, max_region_num=6, batch_size=4,
+        lr=1e-4, num_labels=7, num_epoch=2,
+    )}
+    mk = dict(tokenizer=tok, max_seq_length=8, max_region_num=6)
+    ds = VQADataset(syn.vqa_annotations(num=8, num_images=8, num_labels=7),
+                    store, num_labels=7, **mk)
+    loaders = {"TASK1": DataLoader(ds, 4, seed=0)}      # len 2
+    val = {"TASK1": DataLoader(ds, 4, shuffle=False, drop_last=False)}
+    trainer = MultiTaskTrainer(
+        cfg, task, loaders,
+        opt_cfg=OptimizerConfig(learning_rate=1e-4, schedule="warmup_linear"),
+        val_loaders=val, num_labels=7, num_train_epochs=2,
+    )
+    evals = []
+    orig = trainer.evaluate
+    trainer.evaluate = lambda k, **kw: (evals.append(trainer.epoch), orig(k, **kw))[1]
+    trainer.train(2, lr_drop_epochs=(), log_every=0)
+    # task_num_iters=2, median=2, 2 epochs -> wraps at iterId 2 (epoch 1,
+    # it 0) plus the final step (epoch 1, it 1)
+    assert evals == [1, 1], evals
+    assert trainer.controller.controllers["TASK1"].last_epoch >= 0
