@@ -464,11 +464,12 @@ def _device_init_watchdog(budget_s: float = 900.0) -> None:
 
     import jax
 
-    # honor an explicit platform choice (some PJRT plugins ignore the env
-    # var — programmatic config is the only restriction that sticks)
-    if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit CPU choice (some PJRT plugins ignore the env var —
+    # programmatic config is the only restriction that sticks); accelerator
+    # env values resolve through the plugin's own registration
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
 

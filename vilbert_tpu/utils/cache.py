@@ -54,10 +54,11 @@ def setup_tpu_defaults() -> None:
     # environment variable (only the programmatic config restricts them), so a
     # CPU-forced run could still open — and block on — a remote TPU backend.
     # Re-assert the env choice programmatically before any backend init.
-    plats = os.environ.get("JAX_PLATFORMS", "")
-    if plats:
+    # ONLY the cpu case: accelerator env values (e.g. a sitecustomize's
+    # "axon") already resolve through the plugin's own registration.
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         try:
-            jax.config.update("jax_platforms", plats)
+            jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
 
