@@ -214,6 +214,7 @@ def bench_e2e(num_workers: int = 0) -> None:
 
 def main(config_json: str = "", batch: int = 0, remat: bool = False,
          metric_suffix: str = "", lm_gather: int = SEQ // 3,
+         img_gather: int = 0,
          fused_qkv: bool = False, fp32_softmax: bool = False,
          no_head_major: bool = False,
          second_moment_dtype: str = "float32",
@@ -284,7 +285,9 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         params, 1000,
     )
     state = TrainState.create(params, tx)
-    loss_fn = make_pretrain_loss_fn(model, cfg, lm_gather=lm_gather)
+    loss_fn = make_pretrain_loss_fn(
+        model, cfg, lm_gather=lm_gather, img_gather=img_gather
+    )
     step_fn = make_train_step(loss_fn, tx, grad_dtype=grad_dtype or None)
 
     batch = jax.tree.map(jax.device_put, batch)
@@ -510,6 +513,7 @@ if __name__ == "__main__":
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
+             img_gather=_arg("--img_gather", 0),
              fused_qkv="--fused_qkv" in sys.argv,
              fp32_softmax="--fp32_softmax" in sys.argv,
              no_head_major="--no_head_major" in sys.argv,

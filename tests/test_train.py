@@ -396,6 +396,109 @@ class TestLMGather:
         assert np.isfinite(float(m_g2["masked_loss_t"]))
 
 
+class TestImgGather:
+    def test_gathered_img_loss_matches_full(self, tiny_config):
+        """img_gather=K projects only masked regions through the image head;
+        the masked-region KL loss must be identical to the full projection
+        whenever every sample has <= K masked regions."""
+        import jax
+
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        model = ViLBERTForPretraining(tiny_config)
+        B, T, R = 3, 10, 6
+        rng = np.random.RandomState(1)
+        target = rng.rand(B, R - 1, tiny_config.v_target_size).astype(np.float32)
+        target /= target.sum(-1, keepdims=True)
+        batch = {
+            "input_ids": rng.randint(1, tiny_config.vocab_size, (B, T)).astype(
+                np.int32
+            ),
+            "image_feat": rng.randn(B, R, tiny_config.v_feature_size).astype(
+                np.float32
+            ),
+            "image_loc": rng.rand(B, R, 5).astype(np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.full((B, R - 1), -1, np.int32),
+            "image_target": target,
+            "is_next": np.zeros((B,), np.int32),
+        }
+        # irregular masked-region counts per sample (3, 1, 0), all <= K=3
+        batch["image_label"][0, [0, 2, 4]] = 1
+        batch["image_label"][1, [3]] = 1
+        params = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+            batch["image_loc"],
+        )["params"]
+
+        key = jax.random.PRNGKey(1)
+        full = make_pretrain_loss_fn(model, tiny_config, deterministic=True)
+        gathered = make_pretrain_loss_fn(
+            model, tiny_config, deterministic=True, img_gather=3
+        )
+        loss_f, m_f = full(params, batch, key)
+        loss_g, m_g = gathered(params, batch, key)
+        np.testing.assert_allclose(float(loss_f), float(loss_g), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_f["masked_loss_v"]), float(m_g["masked_loss_v"]), rtol=1e-5
+        )
+
+        # overflow: K=2 < 3 masked regions in sample 0 -> loss stays finite,
+        # overflow rows excluded from numerator and denominator alike
+        g2 = make_pretrain_loss_fn(
+            model, tiny_config, deterministic=True, img_gather=2
+        )
+        _, m_g2 = g2(params, batch, key)
+        assert np.isfinite(float(m_g2["masked_loss_v"]))
+
+    def test_img_gather_ignored_for_nce(self, tiny_config):
+        """visual_target=2 (NCE) samples negatives across all regions —
+        img_gather must fall back to the full projection there."""
+        import dataclasses
+
+        import jax
+
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        cfg = dataclasses.replace(tiny_config, visual_target=2, num_negative=4)
+        model = ViLBERTForPretraining(cfg)
+        B, T, R = 2, 8, 5
+        rng = np.random.RandomState(2)
+        batch = {
+            "input_ids": rng.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
+            "image_feat": rng.randn(B, R, cfg.v_feature_size).astype(np.float32),
+            "image_loc": rng.rand(B, R, 5).astype(np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.where(
+                rng.rand(B, R - 1) < 0.5, 1, -1
+            ).astype(np.int32),
+            "image_target": rng.randn(B, R - 1, cfg.v_target_size).astype(
+                np.float32
+            ),
+            "is_next": np.zeros((B,), np.int32),
+        }
+        params = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+            batch["image_loc"],
+        )["params"]
+        key = jax.random.PRNGKey(3)
+        full = make_pretrain_loss_fn(model, cfg, deterministic=True)
+        gathered = make_pretrain_loss_fn(
+            model, cfg, deterministic=True, img_gather=3
+        )
+        loss_f, _ = full(params, batch, key)
+        loss_g, _ = gathered(params, batch, key)
+        np.testing.assert_allclose(float(loss_f), float(loss_g), rtol=1e-6)
+
+
 class TestFusedQKV:
     def test_fused_matches_unfused(self, tiny_config):
         """fused_qkv=True runs one [D,3H] GEMM per attention but must produce

@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_gather", type=int, default=-1,
                    help="project only K masked positions through the LM head "
                         "(-1: auto seq_len//3, 0: full sequence)")
+    p.add_argument("--img_gather", type=int, default=0,
+                   help="project only K masked regions through the image "
+                        "head (0: all regions; ignored for visual_target=2). "
+                        "Loss-identical when every sample has <= K masked "
+                        "regions — size K generously if IoU co-masking "
+                        "inflates per-sample masked counts")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each encoder block (large models)")
@@ -253,6 +259,7 @@ def main(argv=None) -> None:
         lm_gather=(
             args.seq_len // 3 if args.lm_gather == -1 else args.lm_gather
         ),
+        img_gather=args.img_gather,
         val_loader=val_loader, val_every=val_every,
         hooks=hooks,
         model_family="basebert" if args.baseline else "vilbert",

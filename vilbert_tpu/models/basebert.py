@@ -145,6 +145,7 @@ class BaseBertForPretraining(nn.Module):
         image_attention_mask=None,
         *,
         lm_positions=None,
+        img_positions=None,
         deterministic=True,
     ) -> BasePretrainOutput:
         out = self.bert(
@@ -157,6 +158,9 @@ class BaseBertForPretraining(nn.Module):
             # masked-position LM head (see ViLBERTForPretraining — same
             # loss, ~2/3 fewer vocab-projection FLOPs)
             seq_t = jnp.take_along_axis(seq_t, lm_positions[:, :, None], axis=1)
+        if img_positions is not None:
+            # masked-region image head (see ViLBERTForPretraining)
+            seq_v = jnp.take_along_axis(seq_v, img_positions[:, :, None], axis=1)
         scores_t = self.predictions(seq_t, self.bert.word_embedding_table())
         scores_v = self.image_decoder(self.image_transform(seq_v)).astype(jnp.float32)
         seq_rel = self.seq_relationship(out.pooled).astype(jnp.float32)

@@ -444,6 +444,7 @@ class ViLBERTForPretraining(nn.Module):
         image_attention_mask: Optional[jax.Array] = None,
         *,
         lm_positions: Optional[jax.Array] = None,
+        img_positions: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> PretrainOutput:
         out = self.bert(
@@ -467,9 +468,21 @@ class ViLBERTForPretraining(nn.Module):
             sequence_t = jnp.take_along_axis(
                 sequence_t, lm_positions[:, :, None], axis=1
             )
+        sequence_v = out.sequence_v
+        if img_positions is not None:
+            # Same trick for the image head: only the ~15% masked regions
+            # contribute to the masked-region loss, so project just those
+            # rows through the v_hidden transform + [v_hidden, 1601]
+            # decoder. prediction_scores_v is then [B, K, v_target_size],
+            # aligned with img_positions (row indices into sequence_v, i.e.
+            # already offset past the global row the reference slices off at
+            # vilbert.py:1506).
+            sequence_v = jnp.take_along_axis(
+                sequence_v, img_positions[:, :, None], axis=1
+            )
         scores_t, scores_v, seq_rel = self.cls(
             sequence_t,
-            out.sequence_v,
+            sequence_v,
             out.pooled_t,
             out.pooled_v,
             self.bert.word_embedding_table(),

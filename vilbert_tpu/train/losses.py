@@ -82,10 +82,22 @@ def masked_image_loss(
     visual_target: int,
     num_negative: int = 128,
     rng: Optional[jax.Array] = None,
+    gathered: bool = False,
 ) -> jax.Array:
     """Masked-region loss. Row 0 (the global mean feature) is skipped
-    (vilbert.py:1506 ``prediction_scores_v[:, 1:]``)."""
-    pred = prediction_scores_v[:, 1:].astype(jnp.float32)
+    (vilbert.py:1506 ``prediction_scores_v[:, 1:]``).
+
+    ``gathered=True``: the model already projected only K selected region
+    rows (``img_positions``), so ``prediction_scores_v`` is [B, K, ...] with
+    the global row excluded at gather time, and ``image_label`` /
+    ``image_target`` arrive gathered to the same K rows — no slice here.
+    NCE (visual_target=2) samples negatives across all regions and is not
+    supported gathered."""
+    if gathered:
+        assert visual_target != 2, "img_gather is not supported with NCE"
+        pred = prediction_scores_v.astype(jnp.float32)
+    else:
+        pred = prediction_scores_v[:, 1:].astype(jnp.float32)
     assert image_label.shape[1] == pred.shape[1], (
         "image_label covers the R-1 real regions (global mean row excluded)"
     )
@@ -159,6 +171,7 @@ def pretrain_losses(
     visual_target: int,
     num_negative: int = 128,
     rng: Optional[jax.Array] = None,
+    img_gathered: bool = False,
 ) -> PretrainLosses:
     return PretrainLosses(
         masked_lm_loss=cross_entropy_ignore_index(
@@ -171,6 +184,7 @@ def pretrain_losses(
             visual_target=visual_target,
             num_negative=num_negative,
             rng=rng,
+            gathered=img_gathered,
         ),
         next_sentence_loss=cross_entropy_ignore_index(
             out.seq_relationship_score, next_sentence_label, -1

@@ -32,6 +32,7 @@ def make_pretrain_loss_fn(
     img_weight: float = 1.0,
     deterministic: bool = False,
     lm_gather: int = 0,
+    img_gather: int = 0,
 ) -> Callable:
     """loss_fn(params, batch, rng) for make_train_step.
 
@@ -44,7 +45,15 @@ def make_pretrain_loss_fn(
     whenever a sample has ≤ K masked tokens (at 15% of ≤36 tokens, K=12
     covers >99.8% of samples; overflow positions are excluded from the loss,
     numerator and denominator alike). Saves ~2/3 of the LM-head FLOPs.
+
+    ``img_gather=K > 0`` is the image-head analog: only (up to) K masked
+    regions go through the v_hidden transform + [v_hidden, v_target_size]
+    decoder and the KL/MSE loss — identical loss whenever every sample has
+    <= K masked regions. Applies to visual_target 0/1 (per-row losses); NCE
+    (visual_target=2) samples negatives across all regions and keeps the
+    full projection.
     """
+    use_img_gather = bool(img_gather) and cfg.visual_target in (0, 1)
 
     def loss_fn(params, batch: Dict[str, jax.Array], rng: jax.Array):
         drop_rng, nce_rng = jax.random.split(rng)
@@ -61,6 +70,22 @@ def make_pretrain_loss_fn(
                 -1,
             )
             lm_positions = order.astype(jnp.int32)
+        image_label = batch["image_label"]
+        image_target = batch["image_target"]
+        img_positions = None
+        if use_img_gather:
+            # masked regions first (stable); image_label row i corresponds
+            # to sequence_v row i+1 (the global mean feature occupies row 0,
+            # vilbert.py:1506) — offset the gather indices accordingly
+            vmasked = image_label == 1
+            vorder = jnp.argsort(~vmasked, axis=1, stable=True)[:, :img_gather]
+            image_label = jnp.where(
+                jnp.take_along_axis(vmasked, vorder, axis=1), 1, -1
+            )
+            image_target = jnp.take_along_axis(
+                image_target, vorder[:, :, None], axis=1
+            )
+            img_positions = (vorder + 1).astype(jnp.int32)
         out = model.apply(
             {"params": params},
             batch["input_ids"],
@@ -70,10 +95,10 @@ def make_pretrain_loss_fn(
             batch["input_mask"],
             batch["image_mask"],
             lm_positions=lm_positions,
+            img_positions=img_positions,
             deterministic=deterministic,
             rngs={} if deterministic else {"dropout": drop_rng},
         )
-        image_label = batch["image_label"]
         if cfg.objective == 1:
             aligned = (batch["is_next"] == 0)[:, None]
             lm_labels = jnp.where(aligned, lm_labels, -1)
@@ -83,11 +108,12 @@ def make_pretrain_loss_fn(
             out,
             lm_labels,
             image_label,
-            batch["image_target"],
+            image_target,
             batch["is_next"],
             visual_target=cfg.visual_target,
             num_negative=cfg.num_negative,
             rng=nce_rng,
+            img_gathered=use_img_gather,
         )
         nsp = losses.next_sentence_loss
         if cfg.objective == 2:
@@ -121,6 +147,7 @@ def evaluate_pretraining(
     *,
     img_weight: float = 1.0,
     lm_gather: int = 0,
+    img_gather: int = 0,
     mesh=None,
     seed: int = 0,
     max_batches: int = 0,
@@ -143,7 +170,7 @@ def evaluate_pretraining(
     model = _pretrain_model(model_cfg, model_family)
     loss_fn = make_pretrain_loss_fn(
         model, model_cfg, img_weight=img_weight, deterministic=True,
-        lm_gather=lm_gather,
+        lm_gather=lm_gather, img_gather=img_gather,
     )
 
     @jax.jit
@@ -197,6 +224,7 @@ def run_pretraining(
     img_weight: float = 1.0,
     grad_accum: int = 1,
     lm_gather: int = 0,
+    img_gather: int = 0,
     mesh=None,
     init_params=None,
     log_every: int = 20,
@@ -259,7 +287,8 @@ def run_pretraining(
     state = TrainState(*replicate_pytree(tuple(state), mesh))
 
     loss_fn = make_pretrain_loss_fn(
-        model, model_cfg, img_weight=img_weight, lm_gather=lm_gather
+        model, model_cfg, img_weight=img_weight, lm_gather=lm_gather,
+        img_gather=img_gather,
     )
     step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum)
 
@@ -317,7 +346,8 @@ def run_pretraining(
     def run_validation(step: int) -> None:
         metrics = evaluate_pretraining(
             model_cfg, state.params, val_loader,
-            img_weight=img_weight, lm_gather=lm_gather, mesh=mesh,
+            img_weight=img_weight, lm_gather=lm_gather,
+            img_gather=img_gather, mesh=mesh,
             model_family=model_family,
         )
         logger.info(
