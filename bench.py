@@ -505,6 +505,7 @@ if __name__ == "__main__":
              batch=_arg("--batch", 128), remat="--remat" in sys.argv,
              metric_suffix="_large",
              lm_gather=_arg("--lm_gather", SEQ // 3),
+             img_gather=_arg("--img_gather", 0),
              no_head_major="--no_head_major" in sys.argv,
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),

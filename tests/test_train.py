@@ -455,6 +455,60 @@ class TestImgGather:
         _, m_g2 = g2(params, batch, key)
         assert np.isfinite(float(m_g2["masked_loss_v"]))
 
+    def test_gathered_img_loss_matches_full_basebert(self, tiny_config):
+        """The single-stream baseline's img_positions path
+        (basebert.py BaseBertForPretraining) must be loss-identical to the
+        full image-head projection, same contract as the vilbert path —
+        the --baseline CLI flag routes --img_gather here."""
+        import jax
+
+        from vilbert_tpu.models.basebert import BaseBertForPretraining
+        from vilbert_tpu.train.pretrain import make_pretrain_loss_fn
+
+        model = BaseBertForPretraining(tiny_config)
+        B, T, R = 3, 10, 6
+        rng = np.random.RandomState(7)
+        target = rng.rand(B, R - 1, tiny_config.v_target_size).astype(np.float32)
+        target /= target.sum(-1, keepdims=True)
+        batch = {
+            "input_ids": rng.randint(1, tiny_config.vocab_size, (B, T)).astype(
+                np.int32
+            ),
+            "image_feat": rng.randn(B, R, tiny_config.v_feature_size).astype(
+                np.float32
+            ),
+            "image_loc": rng.rand(B, R, 5).astype(np.float32),
+            "segment_ids": np.zeros((B, T), np.int32),
+            "input_mask": np.ones((B, T), np.int32),
+            "image_mask": np.ones((B, R), np.int32),
+            "lm_label_ids": np.full((B, T), -1, np.int32),
+            "image_label": np.full((B, R - 1), -1, np.int32),
+            "image_target": target,
+            "is_next": np.zeros((B,), np.int32),
+        }
+        batch["image_label"][0, [1, 3, 4]] = 1
+        batch["image_label"][2, [0]] = 1
+        batch["lm_label_ids"][1, [2, 5]] = [4, 8]
+        params = model.init(
+            jax.random.PRNGKey(0), batch["input_ids"], batch["image_feat"],
+            batch["image_loc"],
+        )["params"]
+
+        key = jax.random.PRNGKey(1)
+        full = make_pretrain_loss_fn(model, tiny_config, deterministic=True)
+        gathered = make_pretrain_loss_fn(
+            model, tiny_config, deterministic=True, img_gather=3, lm_gather=4
+        )
+        loss_f, m_f = full(params, batch, key)
+        loss_g, m_g = gathered(params, batch, key)
+        np.testing.assert_allclose(float(loss_f), float(loss_g), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_f["masked_loss_v"]), float(m_g["masked_loss_v"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m_f["masked_loss_t"]), float(m_g["masked_loss_t"]), rtol=1e-5
+        )
+
     def test_img_gather_ignored_for_nce(self, tiny_config):
         """visual_target=2 (NCE) samples negatives across all regions —
         img_gather must fall back to the full projection there."""

@@ -86,8 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="project only K masked regions through the image "
                         "head (0: all regions; ignored for visual_target=2). "
                         "Loss-identical when every sample has <= K masked "
-                        "regions — size K generously if IoU co-masking "
-                        "inflates per-sample masked counts")
+                        "regions — size K against the 15%%-of-regions "
+                        "selection distribution (IoU co-masking only zeroes "
+                        "features; it never adds masked-label rows)")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each encoder block (large models)")

@@ -99,7 +99,8 @@ def masked_image_loss(
     else:
         pred = prediction_scores_v[:, 1:].astype(jnp.float32)
     assert image_label.shape[1] == pred.shape[1], (
-        "image_label covers the R-1 real regions (global mean row excluded)"
+        "image_label rows must align with prediction rows "
+        "([B, K] gathered, or [B, R-1] with the global mean row excluded)"
     )
     masked = (image_label == 1).astype(jnp.float32)  # [B, R-1]
 
