@@ -36,7 +36,11 @@ def sched(kind):
 class TestMannul:
     def test_warmup_ramp(self):
         s = sched("mannul")
-        assert s(0) == 0.0
+        # step 0 quirk: the mannul LambdaLR is constructed AFTER the warmup
+        # scheduler and _LRScheduler construction re-applies
+        # lr = initial_lr * lambda(0), clobbering the warmup's 0 — verified
+        # against torch: the first update of training runs at FULL base LR
+        assert s(0) == pytest.approx(BASE)
         assert s(5) == pytest.approx(BASE * 0.5)
         assert s(WARMUP) == pytest.approx(BASE)
         assert s(50) == pytest.approx(BASE)  # warmup_constant holds
@@ -88,6 +92,12 @@ class TestAutomatic:
         s.on_epoch_end(1, 1.0005)  # not > 1.0 * 1.001 → bad
         s.on_epoch_end(2, 1.0005)  # bad 2 → reduce
         assert s(50) == pytest.approx(BASE * 0.2)
+
+    def test_no_step0_clobber(self):
+        # ReduceLROnPlateau sets no LR at construction, so unlike the
+        # LambdaLR family the warmup's 0 at step 0 survives
+        s = sched("automatic")
+        assert s(0) == 0.0
 
 
 class TestCosine:

@@ -572,7 +572,12 @@ class MultiTaskTrainer:
                     self.global_step, key, float(m["loss"]), float(m["score"]),
                     lr=float(self.schedule(self.global_step)),
                 )
-        self.global_step += 1
+        if out:
+            # the reference advances global_step (and the warmup scheduler)
+            # only when at least one task ran a forward this iteration — on
+            # all-stopped iterations the warmup clock freezes
+            # (train_tasks.py:543-559: the increment sits inside is_forward)
+            self.global_step += 1
         return out
 
     def evaluate(self, key: str, max_batches: Optional[int] = None) -> Dict[str, float]:
@@ -668,7 +673,12 @@ class MultiTaskTrainer:
             self.epoch = epoch
             t0 = time.perf_counter()
             for it in range(self.median_num_iter):
-                metrics = self.train_iteration(it)
+                # gate stopped tasks on the GLOBAL iterId — the reference's
+                # train_iter_gap check uses iterId = step + epoch * median,
+                # not the per-epoch step (train_tasks.py:514-521)
+                metrics = self.train_iteration(
+                    epoch * self.median_num_iter + it
+                )
                 if log_every and (it + 1) % log_every == 0:
                     host = {k: float(m["loss"]) for k, m in metrics.items()}
                     bad = [k for k, v in host.items() if not np.isfinite(v)]

@@ -175,6 +175,16 @@ class HostLRScheduler:
 
     def __call__(self, step) -> float:
         step = float(step)
+        if step == 0.0 and self.kind != "automatic":
+            # Construction-order quirk, verified against torch: the epoch
+            # scheduler (LambdaLR/CosineAnnealingLR) is constructed AFTER the
+            # warmup scheduler (train_tasks.py:431-457) and _LRScheduler
+            # construction re-applies lr = initial_lr * lambda(0), clobbering
+            # the warmup's 0 — so the very FIRST update of training runs at
+            # the full base LR, not at warm(0)=0. ReduceLROnPlateau
+            # ("automatic") sets nothing at construction, so there the 0
+            # survives.
+            return self.base_lr * self._tail(0.0)
         return self.base_lr * self._warm(step) * self._tail(step)
 
     def mid_iteration(self, step) -> float:
