@@ -83,6 +83,16 @@ def load_reference_vilbert():
     return mod
 
 
+def load_reference_utils():
+    """Returns the reference `vilbert.utils` torch module (stop controllers,
+    tbLogger) for oracle use in convergence tests. Reuses the same stubs as
+    load_reference_vilbert (boto3/requests/tensorboardX/torch._six)."""
+    load_reference_vilbert()  # installs stubs + sys.path
+    import importlib
+
+    return importlib.import_module("vilbert.utils")
+
+
 def torch_state_dict_to_numpy(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 

@@ -150,8 +150,11 @@ def test_eval_due_reference_cadence():
         for it in range(6)
         if MultiTaskTrainer._eval_due(ns2, e, it, 2, "A")
     ]
-    # iterId windows [4,6)∋5, [8,10), [14,16)∋15, [18,20)... and final
-    assert due2 == [(0, 2), (0, 5), (1, 1), (1, 4), (1, 5)]
+    # windows are aligned on PARAM STATE (reference eval after iterId s sees
+    # params after floor((s+1)/ga) optimizer steps): iteration w covers
+    # s ∈ [2w+1, 2w+3) → 5∈[5,7)@(0,2), 10∈[9,11)@(0,4), 15∈[15,17)@(1,1),
+    # 20∈[19,21)@(1,3), plus the final step
+    assert due2 == [(0, 2), (0, 4), (1, 1), (1, 3), (1, 5)]
 
 
 def test_eval_feeds_controller(world):

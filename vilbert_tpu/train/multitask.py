@@ -642,10 +642,22 @@ class MultiTaskTrainer:
         One of our iterations covers ``grad_accum`` reference iterIds
         (our median_num_iter is the reference's divided by grad_accum,
         train_tasks.py:352-354), so the check is "does any nonzero multiple
-        of task_num_iters fall in this iteration's iterId window"."""
+        of task_num_iters fall in this iteration's iterId window".
+
+        The window is aligned on PARAM STATE, not on raw iterId: a reference
+        eval after iterId ``s`` sees params after floor((s+1)/ga) optimizer
+        steps (the window's optimizer.step runs only at (step+1)%ga==0,
+        train_tasks.py:543), and after our iteration ``w`` the params have
+        taken w+1 steps — so due-point s belongs to iteration
+        w = floor((s+1)/ga) - 1, i.e. the window [w*ga + ga-1, (w+1)*ga +
+        ga-1). For ga=1 this is the plain [w, w+1). (The controller update
+        consequently lands one window later than the reference's mid-window
+        eval would have placed it — the score itself is computed at the
+        exact same param state.)"""
         n = self.task_num_iters.get(key, 0)
-        lo = (epoch * self.median_num_iter + it) * self.grad_accum
-        hi = lo + self.grad_accum  # window [lo, hi) of reference iterIds
+        ga = self.grad_accum
+        lo = (epoch * self.median_num_iter + it) * ga + ga - 1
+        hi = lo + ga  # param-state-aligned window of reference iterIds
         wrapped = n > 0 and (hi - 1) // n > (max(lo, 1) - 1) // n
         last = (
             epoch == num_epochs - 1 and it == self.median_num_iter - 1
