@@ -69,3 +69,88 @@ def test_int8_model_logits_track_fp32(tiny_config):
     b = np.asarray(out8.vil_prediction, np.float32).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.98, corr
+
+
+@pytest.mark.slow
+def test_int8_score_neutral_after_training(tiny_config):
+    """Fine-tune a tiny model to a stable val score on a learnable synthetic
+    task, then eval the SAME trained params with int8_matmul on and off:
+    the val score must be int8-neutral (within one sample flip). This is the
+    trained-model guarantee the logit-correlation test above (random-ish
+    weights) cannot give."""
+    import dataclasses
+
+    import jax
+
+    from vilbert_tpu.core.config import OptimizerConfig, TaskConfig
+    from vilbert_tpu.models.vilbert import ViLBERTForVLTasks
+    from vilbert_tpu.train.multitask import (
+        MultiTaskTrainer, make_task_eval_fn,
+    )
+
+    cfg = dataclasses.replace(tiny_config, int8_matmul=False)
+    B, T, R, NV = 8, 9, 6, 32  # NV val samples
+    rng = np.random.RandomState(5)
+    proj = rng.randn(cfg.v_feature_size, 3).astype(np.float32)
+
+    def batches(n, seed):
+        r = np.random.RandomState(seed)
+        out = []
+        for _ in range(n):
+            feats = r.randn(B, R, cfg.v_feature_size).astype(np.float32)
+            cls = np.argmax(feats.mean(axis=1) @ proj, axis=1)
+            out.append({
+                "question": r.randint(1, cfg.vocab_size, (B, T)).astype(np.int32),
+                "features": feats,
+                "spatials": r.rand(B, R, 5).astype(np.float32),
+                "segment_ids": np.zeros((B, T), np.int32),
+                "input_mask": np.ones((B, T), np.int32),
+                "image_mask": np.ones((B, R), np.int32),
+                "co_attention_mask": np.zeros((B, R, T), np.float32),
+                "target": cls.astype(np.int32),
+            })
+        return out
+
+    class L:
+        def __init__(self, bs):
+            self.bs = bs
+            self.batch_size = B
+
+        def __iter__(self):
+            return iter(self.bs)
+
+        def __len__(self):
+            return len(self.bs)
+
+    tasks = {"TASK_B": TaskConfig(
+        task_id=2, name="B", type="VL-tri-classifier",
+        loss="CrossEntropyLoss", batch_size=B, lr=1e-3, num_epoch=1,
+        num_labels=3,
+    )}
+    val = batches(NV // B, 99)
+    trainer = MultiTaskTrainer(
+        cfg, tasks, {"TASK_B": L(batches(6, 7))},
+        val_loaders={"TASK_B": L(val)},
+        opt_cfg=OptimizerConfig(learning_rate=1e-3, schedule="constant",
+                                correct_bias=False),
+        num_labels=16, num_train_epochs=1, dropout_prob=0.0,
+    )
+    for it in range(40):
+        trainer.train_iteration(it)
+    fp32_score = trainer.evaluate("TASK_B")["score"]
+    assert fp32_score >= 0.5, f"training failed to move the score: {fp32_score}"
+
+    # same trained params through the int8 graph
+    cfg8 = dataclasses.replace(cfg, int8_matmul=True)
+    m8 = ViLBERTForVLTasks(cfg8, num_labels=16)
+    eval8 = make_task_eval_fn(m8, cfg8, tasks["TASK_B"])
+    tot = n = 0.0
+    for b in val:
+        bb = {k: v for k, v in b.items() if k != "target"}
+        _, score = eval8(trainer.state.params, b)
+        tot += float(np.asarray(score).sum())
+        n += B
+    int8_score = tot / n
+    assert abs(int8_score - fp32_score) <= 1.0 / NV + 1e-9, (
+        fp32_score, int8_score
+    )

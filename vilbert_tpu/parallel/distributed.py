@@ -81,6 +81,12 @@ def make_global_batch(
     Single-process: equivalent to a sharded device_put (same code path keeps
     tests honest)."""
     def place(path, x):
+        if isinstance(x, jax.Array) and not getattr(
+            x, "is_fully_addressable", True
+        ):
+            # already a global array (the per-task device prefetch places
+            # batches with this same function) — placement is idempotent
+            return x
         x = np.asarray(x)
         if x.ndim <= batch_axis:
             raise ValueError(

@@ -55,6 +55,18 @@ HEAD_FOR_TYPE = {
 MC_REGION_OFFSET = 101
 
 
+def _local_rows(x) -> np.ndarray:
+    """Rows of a (possibly multi-host) per-sample vector owned by THIS
+    process. Single-host arrays pass through; globally-sharded arrays
+    concatenate their addressable shards in row order."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def process_batch(process: str, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     """Static process-mode reshapes (reference task_utils.py:199-310).
 
@@ -602,8 +614,12 @@ class MultiTaskTrainer:
             if full_bs:
                 batch, _ = pad_batch(batch, full_bs)
             loss_v, score_v = task.eval_fn(self.state.params, batch)
-            loss_v = np.asarray(loss_v)
-            score_v = np.asarray(score_v)
+            # multi-host: the per-sample vectors are globally sharded over
+            # the data axis; read THIS process's addressable rows (the rows
+            # its loader contributed) — the cross-host sum happens on the
+            # allgathered totals below
+            loss_v = _local_rows(loss_v)
+            score_v = _local_rows(score_v)
             # rows per sample > 1 for dialog (target flattened to B*rounds)
             rows_per_sample = loss_v.shape[0] // max(full_bs or bsz, 1)
             valid = bsz * max(rows_per_sample, 1)
