@@ -73,9 +73,13 @@ def test_int8_model_logits_track_fp32(tiny_config):
 
 @pytest.mark.slow
 def test_int8_score_neutral_after_training(tiny_config):
-    """Fine-tune a tiny model to a stable val score on a learnable synthetic
-    task, then eval the SAME trained params with int8_matmul on and off:
-    the val score must be int8-neutral (within one sample flip). This is the
+    """Fine-tune a tiny model until it solves its training pool, then eval
+    the SAME trained params with int8_matmul on and off: the score must be
+    int8-neutral (within one sample flip). The eval pool is the training
+    pool — at this scale (48 samples, 4-layer/32-hidden model) training
+    memorizes rather than generalizes, and memorized samples are exactly
+    what the neutrality check needs: confident logits far from argmax
+    ties, produced by genuinely trained (non-random) weights. This is the
     trained-model guarantee the logit-correlation test above (random-ish
     weights) cannot give."""
     import dataclasses
@@ -89,7 +93,7 @@ def test_int8_score_neutral_after_training(tiny_config):
     )
 
     cfg = dataclasses.replace(tiny_config, int8_matmul=False)
-    B, T, R, NV = 8, 9, 6, 32  # NV val samples
+    B, T, R = 8, 9, 6
     rng = np.random.RandomState(5)
     proj = rng.randn(cfg.v_feature_size, 3).astype(np.float32)
 
@@ -127,18 +131,20 @@ def test_int8_score_neutral_after_training(tiny_config):
         loss="CrossEntropyLoss", batch_size=B, lr=1e-3, num_epoch=1,
         num_labels=3,
     )}
-    val = batches(NV // B, 99)
+    pool = batches(6, 7)  # 48 samples, recycled every epoch
+    NV = 6 * B
+    val = pool
     trainer = MultiTaskTrainer(
-        cfg, tasks, {"TASK_B": L(batches(6, 7))},
+        cfg, tasks, {"TASK_B": L(pool)},
         val_loaders={"TASK_B": L(val)},
         opt_cfg=OptimizerConfig(learning_rate=1e-3, schedule="constant",
                                 correct_bias=False),
         num_labels=16, num_train_epochs=1, dropout_prob=0.0,
     )
-    for it in range(40):
+    for it in range(60):
         trainer.train_iteration(it)
     fp32_score = trainer.evaluate("TASK_B")["score"]
-    assert fp32_score >= 0.5, f"training failed to move the score: {fp32_score}"
+    assert fp32_score >= 0.9, f"training failed to move the score: {fp32_score}"
 
     # same trained params through the int8 graph
     cfg8 = dataclasses.replace(cfg, int8_matmul=True)
