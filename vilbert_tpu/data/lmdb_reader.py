@@ -289,10 +289,10 @@ class LmdbWriter:
                 chunk = bytearray(npages * PAGE_SIZE)
                 _PAGE_HDR_OVF.pack_into(chunk, 0, next_pgno, 0, P_OVERFLOW, npages)
                 chunk[16 : 16 + len(v)] = v
-                pages.extend(
-                    bytes(chunk[i * PAGE_SIZE : (i + 1) * PAGE_SIZE])
-                    for i in range(npages)
-                )
+                # one multi-page element (the page list is only joined at the
+                # end, so elements need not be page-sized) — slicing per page
+                # dominated flush time on big stores
+                pages.append(bytes(chunk))
                 big[k] = next_pgno
                 next_pgno += npages
                 ovf_pages += npages
@@ -374,7 +374,7 @@ class LmdbWriter:
             _PAGE_HDR.pack_into(page, 0, pgno, 0, P_META, 0, 0)
             off = 16
             _META_HEAD.pack_into(page, off, _MAGIC, _VERSION, 0,
-                                 max(len(pages) * PAGE_SIZE, 1 << 20))
+                                 max(next_pgno * PAGE_SIZE, 1 << 20))
             off += _META_HEAD.size
             # free db: psize in md_pad, empty tree
             _DB.pack_into(page, off, PAGE_SIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
