@@ -218,7 +218,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
          fused_qkv: bool = False, fp32_softmax: bool = False,
          no_head_major: bool = False,
          second_moment_dtype: str = "float32",
-         grad_dtype: str = "", proj_impl: str = "einsum") -> None:
+         grad_dtype: str = "", proj_impl: str = "einsum",
+         gelu_impl: str = "auto") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -252,6 +253,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, head_major_attention=False)
     if proj_impl != "einsum":  # A/B knob: projection spelling (docs/perf.md)
         cfg = dataclasses.replace(cfg, proj_impl=proj_impl)
+    if gelu_impl != "auto":  # A/B knob: "exact" forces XLA's erf expansion
+        cfg = dataclasses.replace(cfg, gelu_impl=gelu_impl)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -510,7 +513,8 @@ if __name__ == "__main__":
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
-             proj_impl=_sarg("--proj_impl", "einsum"))
+             proj_impl=_sarg("--proj_impl", "einsum"),
+             gelu_impl=_sarg("--gelu", "auto"))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
@@ -521,4 +525,5 @@ if __name__ == "__main__":
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
-             proj_impl=_sarg("--proj_impl", "einsum"))
+             proj_impl=_sarg("--proj_impl", "einsum"),
+             gelu_impl=_sarg("--gelu", "auto"))

@@ -65,13 +65,14 @@ _INSTR_RE = re.compile(
 def parse_hlo(text: str):
     """Parse optimized HLO text into per-computation instruction tables.
 
-    Returns {comp_name: {instr_name: (shape_str, op, args_str)}}."""
+    Returns {comp_name: {instr_name: (shape_str, op, args_str)}}.
+    Header params may be tuple-typed (nested parens), so match greedily up
+    to the ` -> ` return-type arrow rather than `\\([^)]*\\)`."""
     comps = {}
     cur = None
     for line in text.splitlines():
-        m = re.match(r"^(?:ENTRY\s+)?%?([\w.-]+)\s+\([^)]*\)\s*->", line)
+        m = re.match(r"^(?:ENTRY\s+)?%?([\w.-]+)\s+\(.*\)\s*->", line)
         if m and ("{" in line or line.rstrip().endswith("->")):
-            # computation header like: %fused_computation.1 (param_0: ...) -> ... {
             cur = m.group(1)
             comps[cur] = {}
             continue
@@ -82,6 +83,36 @@ def parse_hlo(text: str):
             name, shape, op, rest = im.groups()
             comps[cur][name] = (shape, op, rest)
     return comps
+
+
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def logical_group(rest: str, instr_name: str) -> str:
+    """Collapse an instruction to its logical model-op family.
+
+    Uses the HLO metadata op_name (the jax primitive path), normalizing
+    layer indices so the 12 per-layer instances of e.g. the FFN forward
+    GEMM aggregate into one row. Direction prefix: fwd (jvp), bwd
+    (transpose(jvp)), or opt for optimizer/other ops with no model path."""
+    m = _OPNAME_RE.search(rest)
+    if not m:
+        return "opt/" + re.sub(r"[.\d]+$", "", instr_name)
+    path = m.group(1)
+    if path.startswith("jit(step_fn)/"):
+        path = path[len("jit(step_fn)/"):]
+    if path.startswith("transpose(jvp"):
+        direction = "bwd"
+    elif path.startswith("jvp"):
+        direction = "fwd"
+    else:
+        direction = "opt"
+    path = re.sub(r"^[^/]*/", "", path)  # drop the jvp(...) wrapper segment
+    path = re.sub(r"layer_\d+", "layer_*", path)
+    path = re.sub(r"/\d+$", "", path)
+    # keep the tail segments that identify the op (module path + primitive)
+    segs = path.split("/")
+    return direction + " " + "/".join(segs[-4:])
 
 
 def dot_flops(shape_str, rest, table):
@@ -104,43 +135,90 @@ def dot_flops(shape_str, rest, table):
     return 2 * out * k
 
 
+def conv_flops(shape_str, rest, table):
+    """FLOPs of one convolution (XLA:TPU lowers every matmul to conv).
+
+    2 * prod(output dims) * K.  K = rhs input-feature dims times, per
+    spatial dim, the average number of VALID taps per output position.
+    XLA encodes matmuls as convs three ways: (a) plain 1x1 convs (taps=1),
+    (b) dW matmuls where the contraction over positions is a full-width
+    window over lhs spatial (taps=L), and (c) batched matmuls via
+    lhs_dilate+stride, where each output sees exactly one real tap.  For
+    stride-1 windows the identity `valid (input,kernel) pairs per spatial
+    dim = L * min(w, O)` covers (a) and (b) including the padded forms
+    (L=1, w=S, pad S-1: one valid tap per output)."""
+    _, out_dims = shape_elems(shape_str)
+    dl = re.search(r"dim_labels=(\w+)_(\w+)->(\w+)", rest)
+    if dl is None:
+        return 0
+    lhs_label, rhs_label, out_label = dl.groups()
+    ops = re.findall(r"%([\w.-]+)", rest.split("),")[0])
+    refs = [o for o in ops if o in table]
+    if len(refs) < 2:
+        return 0
+    _, lhs_dims = shape_elems(table[refs[0]][0])
+    _, rhs_dims = shape_elems(table[refs[1]][0])
+    k = 1.0
+    for i, ch in enumerate(rhs_label):
+        if ch == "i" and i < len(rhs_dims):
+            k *= rhs_dims[i]
+    wm = re.search(r"window=\{size=([\dx]+)", rest)
+    wsizes = [int(w) for w in wm.group(1).split("x")] if wm else []
+    if "lhs_dilate" not in rest:
+        for ch in sorted(set(c for c in lhs_label if c.isdigit())):
+            li = lhs_label.index(ch)
+            L = lhs_dims[li] if li < len(lhs_dims) else 1
+            oi = out_label.find(ch)
+            O = out_dims[oi] if 0 <= oi < len(out_dims) else 1
+            w = wsizes[int(ch)] if int(ch) < len(wsizes) else 1
+            k *= L * min(w, O) / O
+    out = 1
+    for d in out_dims:
+        out *= d
+    return int(2 * out * k)
+
+
 def analyze(hlo_text: str):
-    """Per-entry-instruction {name: {flops, bytes, op}} from optimized HLO."""
+    """Per-instruction {name: {flops, bytes, op, group}} from optimized HLO.
+
+    Instruction names are unique module-wide, so all computations are merged
+    into one table (profiler op names can live in the entry computation OR
+    in a wrapped main/while-body computation); operand refs resolve within
+    the instruction's own computation."""
     comps = parse_hlo(hlo_text)
-    entry = None
-    for name, table in comps.items():
-        # the entry computation contains the fusions the profiler names;
-        # pick the computation with the most fusion instructions
-        nfus = sum(1 for _, (s, op, r) in table.items() if op == "fusion")
-        if entry is None or nfus > entry[1]:
-            entry = (name, nfus, table)
-    _, _, table = entry
+
+    def instr_flops(ishape, iop, irest, itable):
+        if iop == "dot":
+            return dot_flops(ishape, irest, itable)
+        if iop == "convolution":
+            return conv_flops(ishape, irest, itable)
+        return 0
+
+    def hbm_bytes(shape_str):
+        # S(1) marks memory_space=1 (VMEM-resident): no HBM traffic
+        return 0 if "S(1)" in shape_str else shape_bytes(shape_str)
 
     info = {}
-    for name, (shape, op, rest) in table.items():
-        bytes_ = shape_bytes(shape)
-        flops = 0
-        if op == "fusion":
-            # operand bytes: resolve %refs defined in the entry table
-            for ref in re.findall(r"%([\w.-]+)", rest):
-                if ref in table:
-                    bytes_ += shape_bytes(table[ref][0])
-            cm = re.search(r"calls=%?([\w.-]+)", rest)
-            if cm and cm.group(1) in comps:
-                inner = comps[cm.group(1)]
-                for iname, (ishape, iop, irest) in inner.items():
-                    if iop == "dot":
-                        flops += dot_flops(ishape, irest, inner)
-        elif op == "dot":
-            for ref in re.findall(r"%([\w.-]+)", rest):
-                if ref in table:
-                    bytes_ += shape_bytes(table[ref][0])
-            flops = dot_flops(shape, rest, table)
-        elif op in ("copy", "copy-start", "bitcast", "get-tuple-element"):
-            for ref in re.findall(r"%([\w.-]+)", rest):
-                if ref in table:
-                    bytes_ += shape_bytes(table[ref][0])
-        info[name] = {"flops": flops, "bytes": bytes_, "op": op}
+    for table in comps.values():
+        for name, (shape, op, rest) in table.items():
+            bytes_ = hbm_bytes(shape)
+            flops = instr_flops(shape, op, rest, table)
+            if op in ("fusion", "dot", "convolution", "copy", "copy-start",
+                      "bitcast", "get-tuple-element", "custom-call"):
+                # operand bytes: resolve %refs in this computation
+                for ref in re.findall(r"%([\w.-]+)", rest):
+                    if ref in table:
+                        bytes_ += hbm_bytes(table[ref][0])
+            if op == "fusion":
+                cm = re.search(r"calls=%?([\w.-]+)", rest)
+                if cm and cm.group(1) in comps:
+                    inner = comps[cm.group(1)]
+                    for iname, (ishape, iop, irest) in inner.items():
+                        flops += instr_flops(ishape, iop, irest, inner)
+            info[name] = {
+                "flops": flops, "bytes": bytes_, "op": op,
+                "group": logical_group(rest, name),
+            }
     return info
 
 
@@ -179,7 +257,22 @@ def main() -> None:
     p.add_argument("--hbm_gbs", type=float, default=819.0)
     p.add_argument("--out", default="/tmp/vilbert_roofline")
     p.add_argument("--json", default="")
+    p.add_argument("--hlo_dump", default="/tmp/vilbert_step.hlo",
+                   help="where to save the optimized HLO text")
+    p.add_argument("--skip_run", action="store_true",
+                   help="reuse --hlo_dump and the latest trace under --out "
+                        "instead of recompiling/re-profiling")
     args = p.parse_args()
+
+    if args.skip_run:
+        with open(args.hlo_dump) as f:
+            hlo_text = f.read()
+        info = analyze(hlo_text)
+        print(f"parsed HLO: {len(info)} instructions, "
+              f"{sum(1 for v in info.values() if v['op'] == 'fusion')} fusions")
+        times = profile_times(args.out, args.steps)
+        report(info, times, args)
+        return
 
     import jax
     import numpy as np
@@ -237,8 +330,10 @@ def main() -> None:
     lowered = step_fn.lower(state, batch, key)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()
+    with open(args.hlo_dump, "w") as f:
+        f.write(hlo_text)
     info = analyze(hlo_text)
-    print(f"parsed HLO: {len(info)} entry instructions, "
+    print(f"parsed HLO: {len(info)} instructions, "
           f"{sum(1 for v in info.values() if v['op'] == 'fusion')} fusions")
 
     for _ in range(3):
@@ -252,49 +347,75 @@ def main() -> None:
     float(metrics["loss"])
     jax.profiler.stop_trace()
     times = profile_times(args.out, args.steps)
+    report(info, times, args)
 
+
+def report(info, times, args):
+    """Aggregate profiler time by logical op family and print the roofline.
+
+    The per-instruction roofline bound max(FLOPs/peak, bytes/BW) is summed
+    within each family; `%roof` = bound/achieved (100% = at the roofline).
+    Caveat: per-op achieved times from the profiler exclude DMA that XLA
+    overlapped across ops, so HBM-bound rows can report >100%; the
+    trustworthy statement is the family-level ordering plus the whole-step
+    MFU, both of which this prints."""
     peak_flops = args.peak_tflops * 1e12
     hbm = args.hbm_gbs * 1e9
-    rows = []
+    groups = collections.defaultdict(
+        lambda: {"ms": 0.0, "flops": 0, "bytes": 0, "bound_ms": 0.0, "n": 0})
     unmatched_ms = 0.0
     for name, ms in times.items():
         meta = info.get(name)
         if meta is None:
             unmatched_ms += ms
             continue
-        t_mxu = meta["flops"] / peak_flops * 1e3
-        t_hbm = meta["bytes"] / hbm * 1e3
-        bound = max(t_mxu, t_hbm)
+        g = groups[meta["group"]]
+        g["ms"] += ms
+        g["flops"] += meta["flops"]
+        g["bytes"] += meta["bytes"]
+        g["bound_ms"] += max(
+            meta["flops"] / peak_flops, meta["bytes"] / hbm) * 1e3
+        g["n"] += 1
+
+    rows = []
+    for name, g in groups.items():
+        t_mxu = g["flops"] / peak_flops * 1e3
+        t_hbm = g["bytes"] / hbm * 1e3
         rows.append({
-            "name": name, "op": meta["op"], "ms": ms,
-            "gflops": meta["flops"] / 1e9, "mbytes": meta["bytes"] / 1e6,
-            "bound_ms": bound,
+            "group": name, "n": g["n"], "ms": g["ms"],
+            "gflops": g["flops"] / 1e9, "mbytes": g["bytes"] / 1e6,
+            "bound_ms": g["bound_ms"],
             "bound_by": "mxu" if t_mxu >= t_hbm else "hbm",
-            "pct_of_bound": (bound / ms * 100) if ms > 0 else 0.0,
+            "pct_of_roof": (g["bound_ms"] / g["ms"] * 100) if g["ms"] else 0,
         })
     rows.sort(key=lambda r: -r["ms"])
 
     total_ms = sum(r["ms"] for r in rows) + unmatched_ms
-    total_bound = sum(r["bound_ms"] for r in rows)
-    print(f"\ndevice busy {total_ms:.1f} ms/step; "
-          f"roofline bound of matched ops {total_bound:.1f} ms "
-          f"({unmatched_ms:.1f} ms unmatched by the HLO parse)")
-    hdr = (f"{'ms/step':>8} {'bound':>8} {'%bound':>7} {'by':>4} "
-           f"{'GFLOP':>8} {'MB':>8}  name")
+    total_flops = sum(r["gflops"] for r in rows) * 1e9
+    total_bytes = sum(r["mbytes"] for r in rows) * 1e6
+    mfu = total_flops / (total_ms / 1e3) / peak_flops * 100
+    hbm_frac = total_bytes / (total_ms / 1e3) / hbm * 100
+    print(f"\ndevice busy {total_ms:.1f} ms/step "
+          f"({unmatched_ms:.2f} ms unmatched by the HLO parse)")
+    print(f"whole step: {total_flops / 1e9:.0f} GFLOP -> {mfu:.1f}% MFU; "
+          f"{total_bytes / 1e9:.1f} GB HBM traffic -> {hbm_frac:.0f}% of "
+          f"{args.hbm_gbs:.0f} GB/s")
+    hdr = (f"{'ms/step':>8} {'bound':>7} {'%roof':>6} {'by':>4} {'#':>4} "
+           f"{'GFLOP':>8} {'MB':>9}  group")
     print(hdr)
     for r in rows[: args.top]:
-        print(f"{r['ms']:8.3f} {r['bound_ms']:8.3f} {r['pct_of_bound']:6.1f}%"
-              f" {r['bound_by']:>4} {r['gflops']:8.2f} {r['mbytes']:8.1f}"
-              f"  {r['name'][:60]}")
+        print(f"{r['ms']:8.3f} {r['bound_ms']:7.3f} {r['pct_of_roof']:5.0f}%"
+              f" {r['bound_by']:>4} {r['n']:4d} {r['gflops']:8.1f}"
+              f" {r['mbytes']:9.1f}  {r['group'][:70]}")
     covered = sum(r["ms"] for r in rows[: args.top])
-    print(f"(top {args.top} cover {covered:.1f} ms = "
+    print(f"(top {args.top} groups cover {covered:.1f} ms = "
           f"{covered / total_ms * 100:.0f}% of device time)")
 
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
-                "total_ms": total_ms, "total_bound_ms": total_bound,
-                "unmatched_ms": unmatched_ms, "rows": rows[:50],
+                "total_ms": total_ms, "unmatched_ms": unmatched_ms,
+                "mfu_pct": mfu, "hbm_pct": hbm_frac, "rows": rows,
             }, f, indent=1)
         print(f"wrote {args.json}")
 

@@ -85,6 +85,7 @@ def _make_dataset(task, tok, store, cfg):
     return task, ds
 
 
+@pytest.mark.slow
 def test_every_yaml_task_trains(world):
     import jax
 

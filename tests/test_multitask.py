@@ -209,6 +209,7 @@ def test_pointing_mc_path():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_bf16_compressed_feature_transfer_trains():
     """With bf16 compute the per-task prefetch ships features as bf16
     (compress_for_transfer) — one round-robin iteration must train finite."""
@@ -253,6 +254,7 @@ def test_bf16_compressed_feature_transfer_trains():
     assert np.isfinite(float(metrics["TASK1"]["loss"]))
 
 
+@pytest.mark.slow
 def test_train_loop_reference_cadence():
     """trainer.train(eval_cadence='reference') evaluates exactly when a task
     wraps its loader + at the final step, feeding the stop controller."""

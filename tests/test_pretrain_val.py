@@ -75,6 +75,7 @@ def test_validation_pass_means_and_history(tiny_config):
     assert history[-1][1]["loss"] <= metrics["loss"] * 1.5
 
 
+@pytest.mark.slow
 def test_baseline_pretraining_and_freeze(tiny_config):
     """--baseline pretrains the single-stream model (reference
     train_concap.py:397-414) and --freeze keeps the frozen text prefix

@@ -108,6 +108,7 @@ def test_from_pretrained_npz(tmp_path):
     assert diffs > 10  # sanity: the donor init really was different
 
 
+@pytest.mark.slow
 def test_baseline_family_trains():
     tasks, loaders = make_world()
     tr = MultiTaskTrainer(

@@ -40,6 +40,7 @@ def test_int8_projections_close():
     assert rel < 0.02, rel
 
 
+@pytest.mark.slow
 def test_int8_model_logits_track_fp32(tiny_config):
     """Same params, int8 vs fp32 forward: logits highly correlated and the
     param tree is IDENTICAL (checkpoints need no conversion)."""

@@ -138,6 +138,7 @@ class TestOptimGroups:
             else:
                 assert lab == "head", p
 
+    @pytest.mark.slow
     def test_frozen_params_unchanged(self, tiny_config):
         import jax
         import jax.numpy as jnp

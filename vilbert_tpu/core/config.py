@@ -91,6 +91,17 @@ class ModelConfig:
     # no looser than the published recipe. Parity tests run fp32 compute,
     # where "auto" resolves to fp32.
     softmax_dtype: str = "auto"
+    # gelu erf implementation. "auto" uses a P3/Q3 rational minimax erf
+    # under bf16 compute (max abs err 9.7e-6 on erf; at bf16 precision
+    # MORE accurate than the exact-erf lowering, whose internal bf16
+    # roundings cost several ulps — within 1 ulp or 5e-5 of the
+    # correctly-rounded true gelu everywhere; pinned by
+    # tests/test_encoder_modes.py) and the exact erf under fp32 (parity
+    # tests unaffected). XLA expands exact erf into a ~30-op branchy f32
+    # erfc polynomial fused into the FFN GEMM epilogue; the roofline table
+    # (docs/perf.md) attributed the forward FFN's 42%-of-bound gap to it.
+    # "exact"/"rational" force one implementation.
+    gelu_impl: str = "auto"
     # one [D,3H] projection GEMM per attention. Measured SLOWER than three
     # separate Dense ops on v5e (1774 vs 1923 samples/s/chip): the per-step
     # concatenate of the three kernels (kept separate for checkpoint parity)
@@ -145,6 +156,10 @@ class ModelConfig:
             f"softmax_dtype must be 'auto', 'float32' or 'bfloat16', "
             f"got {self.softmax_dtype!r}"
         )
+        assert self.gelu_impl in ("auto", "exact", "rational"), (
+            f"gelu_impl must be 'auto', 'exact' or 'rational', "
+            f"got {self.gelu_impl!r}"
+        )
 
     # -- constructors -------------------------------------------------------
 
@@ -176,6 +191,14 @@ class ModelConfig:
         return dataclasses.replace(self, **overrides)
 
     # -- derived ------------------------------------------------------------
+
+    @property
+    def resolved_gelu_impl(self) -> str:
+        if self.gelu_impl == "auto":
+            return (
+                "rational" if self.compute_dtype == "bfloat16" else "exact"
+            )
+        return self.gelu_impl
 
     @property
     def resolved_softmax_dtype(self) -> str:

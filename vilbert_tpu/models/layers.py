@@ -33,15 +33,97 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+# Minimax rational for erf(z) ~ z * P(z^2)/Q(z^2) on |z| <= 3.2
+# (fit on Chebyshev-style weighted grid; max abs error 9.7e-6, two decades
+# below bf16 half-ulp ~2e-3). erf(3.2) = 0.9999984 rounds to 1.0 in bf16,
+# so clamping |z| at 3.2 is exact at bf16 precision too.
+_ERF_P = (1.1283621227654328, 0.15780611964408517,
+          0.043127602475218844, 0.0007360894735171213)
+_ERF_Q = (1.0, 0.47307127867236537,
+          0.09602493287758253, 0.009191308867243501)
+
+# gelu'(x) - 0.5 is odd (gelu'(x) + gelu'(-x) = 1), so the derivative gets
+# its own rational: gelu'(x) ~ 0.5 + x * DP(x^2)/DQ(x^2) on |x| <= 5
+# (max abs err 5.0e-4 — below the bf16 cotangent rounding it feeds).
+# A custom JVP with this form keeps the backward a straight-line rational;
+# plain autodiff through gelu_rational recomputes p, q and the quotient
+# rule inside the dW/dX fusions — measured: it moved the 5 ms the forward
+# saved INTO the backward FFN fusions (bwd output_dense 6.1 -> 11.7 ms).
+_DGELU_P = (0.7986929677932244, -0.03807846651247695,
+            0.015090213881573151, 0.00019122776191594145)
+_DGELU_Q = (1.0, 0.2926936920714664,
+            0.03245537653061185, 0.006019591148099333)
+
+
+def _horner(coeffs, u):
+    acc = coeffs[-1]
+    for c in coeffs[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return acc
+
+
+@jax.custom_jvp
+def gelu_rational(x: jax.Array) -> jax.Array:
+    """gelu with erf evaluated by a short P3/Q3 rational approximation.
+
+    Numerically: |erf_approx - erf| < 1e-5 in f32, and at bf16 precision
+    this is MORE accurate than jax.nn.gelu's exact-erf path (which loses
+    several ulps to internal bf16 roundings): measured against the
+    correctly-rounded true gelu it lands within 1 ulp or 5e-5 absolute
+    everywhere and is bitwise-correct more often (78% vs 57%);
+    tests/test_encoder_modes.py::TestGeluRational pins the claims.
+
+    Why it exists: XLA:TPU expands `erf` into a ~30-op branchy f32 erfc
+    polynomial fused into the FFN GEMM epilogue — the roofline table
+    (scripts/roofline.py, docs/perf.md) showed the forward FFN GEMMs
+    running at 42% of their MXU bound because of it. The rational form is
+    ~14 straight-line VPU ops, and the custom JVP below keeps the backward
+    an equally short rational (gelu' directly, via the odd-symmetry
+    gelu'(x) = 0.5 + odd(x)) instead of autodiff's recompute+quotient-rule
+    graph, which measured SLOWER than the erfc baseline inside the dW/dX
+    fusions.
+    """
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    z = jnp.clip(x32 * jnp.float32(0.7071067811865476), -3.2, 3.2)
+    u = z * z
+    erf = z * _horner(_ERF_P, u) / _horner(_ERF_Q, u)
+    return (jnp.float32(0.5) * x32 * (jnp.float32(1.0) + erf)).astype(dt)
+
+
+@gelu_rational.defjvp
+def _gelu_rational_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = gelu_rational(x)
+    x32 = x.astype(jnp.float32)
+    s = jnp.clip(x32, -5.0, 5.0)
+    u = s * s
+    dgelu = jnp.float32(0.5) + s * _horner(_DGELU_P, u) / _horner(_DGELU_Q, u)
+    return y, (dgelu.astype(x.dtype) * dx).astype(x.dtype)
+
+
 def swish(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(x)
 
 
 ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
     "gelu": gelu,
+    "gelu_rational": gelu_rational,
     "relu": jax.nn.relu,
     "swish": swish,
 }
+
+
+def resolve_act(name: str, cfg: "ModelConfig") -> Callable[[jax.Array], jax.Array]:
+    """Map an activation name through the config's gelu_impl policy.
+
+    gelu_impl="auto" uses the rational erf under bf16 compute (bf16-exact,
+    see gelu_rational) and the exact erf under fp32 — same convention as
+    softmax_dtype="auto". "exact"/"rational" force one implementation.
+    """
+    if name == "gelu" and cfg.resolved_gelu_impl == "rational":
+        return gelu_rational
+    return ACT2FN[name]
 
 
 class LayerNorm(nn.Module):
@@ -383,7 +465,7 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic=True) -> jax.Array:
         cfg = self.config
         h = _dense(cfg, self.intermediate_size, "intermediate_dense")(x)
-        h = ACT2FN[self.act](h)
+        h = resolve_act(self.act, cfg)(h)
         h = _dense(cfg, self.hidden_size, "output_dense")(h)
         h = _dropout(self.config, self.dropout_rate)(h, deterministic=deterministic)
         return _ln(cfg)(h, residual=x)

@@ -34,6 +34,7 @@ from vilbert_tpu.core.config import ModelConfig
 from vilbert_tpu.models.coattention import ConnectionLayer
 from vilbert_tpu.models.layers import (
     ACT2FN,
+    resolve_act,
     ImageLayer,
     LayerNorm,
     TextLayer,
@@ -312,7 +313,7 @@ class PredictionHeadTransform(nn.Module):
     def __call__(self, h: jax.Array) -> jax.Array:
         cfg = self.config
         h = _dense(cfg, self.hidden_size, "dense")(h)
-        h = ACT2FN[cfg.hidden_act](h)
+        h = resolve_act(cfg.hidden_act, cfg)(h)
         return _ln(cfg)(h)
 
 
