@@ -217,9 +217,10 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
          img_gather: int = 0,
          fused_qkv: bool = False, fp32_softmax: bool = False,
          no_head_major: bool = False,
+         first_moment_dtype: str = "float32",
          second_moment_dtype: str = "float32",
          grad_dtype: str = "", proj_impl: str = "einsum",
-         gelu_impl: str = "auto") -> None:
+         gelu_impl: str = "auto", dropout_hash: str = "murmur3") -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -255,6 +256,8 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, proj_impl=proj_impl)
     if gelu_impl != "auto":  # A/B knob: "exact" forces XLA's erf expansion
         cfg = dataclasses.replace(cfg, gelu_impl=gelu_impl)
+    if dropout_hash != "murmur3":  # A/B knob: 2-mult hash (docs/perf.md)
+        cfg = dataclasses.replace(cfg, dropout_hash=dropout_hash)
     model = ViLBERTForPretraining(cfg)
 
     rng = np.random.RandomState(0)
@@ -284,6 +287,7 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
     )["params"]
     tx, _ = build_optimizer(
         OptimizerConfig(learning_rate=1e-4, schedule="constant",
+                        first_moment_dtype=first_moment_dtype,
                         second_moment_dtype=second_moment_dtype),
         params, 1000,
     )
@@ -510,11 +514,14 @@ if __name__ == "__main__":
              lm_gather=_arg("--lm_gather", SEQ // 3),
              img_gather=_arg("--img_gather", 0),
              no_head_major="--no_head_major" in sys.argv,
+             first_moment_dtype=("bfloat16" if "--bf16_mu" in sys.argv
+                                 else "float32"),
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
              proj_impl=_sarg("--proj_impl", "einsum"),
-             gelu_impl=_sarg("--gelu", "auto"))
+             gelu_impl=_sarg("--gelu", "auto"),
+             dropout_hash=_sarg("--dropout_hash", "murmur3"))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
@@ -522,8 +529,11 @@ if __name__ == "__main__":
              fused_qkv="--fused_qkv" in sys.argv,
              fp32_softmax="--fp32_softmax" in sys.argv,
              no_head_major="--no_head_major" in sys.argv,
+             first_moment_dtype=("bfloat16" if "--bf16_mu" in sys.argv
+                                 else "float32"),
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
              proj_impl=_sarg("--proj_impl", "einsum"),
-             gelu_impl=_sarg("--gelu", "auto"))
+             gelu_impl=_sarg("--gelu", "auto"),
+             dropout_hash=_sarg("--dropout_hash", "murmur3"))

@@ -132,3 +132,31 @@ def test_bf16_second_moment_storage():
         nu = state.nu if hasattr(state, "nu") else state[0].nu
         assert str(nu["bert"]["w"].dtype) == dt
     np.testing.assert_allclose(out["bfloat16"], out["float32"], rtol=2e-2)
+
+
+def test_bf16_first_moment_storage():
+    """first_moment_dtype=bfloat16 stores mu compressed; updates stay close
+    to the fp32-state variant (accumulation is fp32, storage is rounded).
+    Unlike nu, mu's rounding error enters the update direction linearly, so
+    the tolerance is the bf16 relative step (~8e-3 over 3 steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilbert_tpu.core.config import OptimizerConfig
+    from vilbert_tpu.train.optim import build_optimizer
+
+    params = {"bert": {"w": np.ones((16, 8), np.float32)}}
+    grads = {"bert": {"w": np.random.RandomState(1).randn(16, 8).astype(np.float32)}}
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = OptimizerConfig(learning_rate=1e-3, schedule="constant",
+                              first_moment_dtype=dt)
+        tx, _ = build_optimizer(cfg, params, 10, external_lr=True)
+        state = tx.init(params)
+        upds = None
+        for _ in range(3):
+            upds, state = tx.update(jax.tree.map(jnp.asarray, grads), state, params)
+        out[dt] = np.asarray(upds["bert"]["w"])
+        mu = state.mu if hasattr(state, "mu") else state[0].mu
+        assert str(mu["bert"]["w"].dtype) == dt
+    np.testing.assert_allclose(out["bfloat16"], out["float32"], rtol=2e-2, atol=1e-5)

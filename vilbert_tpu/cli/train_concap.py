@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference train_concap.py:397-414)")
     p.add_argument("--adam_epsilon", type=float, default=1e-8,
                    help="AdamW epsilon (train_concap.py:225)")
+    p.add_argument("--bf16_adam_state", action="store_true",
+                   help="store Adam moments (m, v) in bfloat16 — halves "
+                        "optimizer HBM state; accumulation stays fp32 "
+                        "(docs/perf.md)")
+    p.add_argument("--bf16_grads", action="store_true",
+                   help="materialize gradients in bfloat16 (docs/perf.md)")
     p.add_argument("--num_negative", type=int, default=128,
                    help="NCE negatives for visual_target=2 (vilbert.py:1523)")
     p.add_argument("--freeze", type=int, default=-1,
@@ -210,6 +216,8 @@ def main(argv=None) -> None:
         beta2=0.98,  # reference AdamW betas for concap (train_concap.py:467)
         eps=args.adam_epsilon,  # reference --adam_epsilon (train_concap.py:225)
         pretrained_lr_scale=args.pretrained_lr_scale,
+        first_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
+        second_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
     )
 
     init_params = None
@@ -267,6 +275,7 @@ def main(argv=None) -> None:
         freeze_prefix=freeze_prefixes(str(args.freeze)),
         resume_dir=args.resume_file,
         start_step=args.start_step,
+        grad_dtype="bfloat16" if args.bf16_grads else "",
     )
     if args.checkpoint_every:
         mngr.mngr.wait_until_finished()  # drain pending async saves

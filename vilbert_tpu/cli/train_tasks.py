@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--head_lr", type=float, default=1e-4,
                    help="lr for task heads (train_tasks.py:379-398)")
     p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--bf16_adam_state", action="store_true",
+                   help="store Adam moments (m, v) in bfloat16 — halves "
+                        "optimizer HBM state; accumulation stays fp32 "
+                        "(docs/perf.md)")
+    p.add_argument("--bf16_grads", action="store_true",
+                   help="materialize gradients in bfloat16 (docs/perf.md)")
     p.add_argument("--lr_scheduler", default="mannul",
                    choices=["mannul", "automatic", "cosine", "cosine_warm",
                             "warmup_linear", "warmup_constant", "constant"])
@@ -209,6 +215,8 @@ def main(argv=None) -> None:
         # reference multi-task AdamW runs WITHOUT bias correction
         # (train_tasks.py:425: AdamW(..., correct_bias=False))
         correct_bias=False,
+        first_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
+        second_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
     )
     # data-parallel mesh over every device of every process; None keeps the
     # single-chip fast path (no resharding overhead)
@@ -225,6 +233,7 @@ def main(argv=None) -> None:
             train_iter_gap=args.train_iter_gap,
             train_iter_multiplier=args.train_iter_multiplier,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            grad_dtype="bfloat16" if args.bf16_grads else "",
             checkpoint_dir=f"{args.output_dir}/ckpt"),
         val_loaders=val_loaders,
         seed=args.seed,

@@ -102,6 +102,12 @@ class ModelConfig:
     # (docs/perf.md) attributed the forward FFN's 42%-of-bound gap to it.
     # "exact"/"rational" force one implementation.
     gelu_impl: str = "auto"
+    # counter-hash dropout mixer (ops/dropout.py). "murmur3": 3 u32
+    # multiplies/element (full murmur3 finalizer). "mix2": 2 multiplies —
+    # u32 multiply is emulated on the VPU, and dropout hashes ~600M
+    # elements/step, so the saved round is measurable; keep-rate and
+    # lag-autocorrelation quality pinned in tests/test_train.py.
+    dropout_hash: str = "murmur3"
     # one [D,3H] projection GEMM per attention. Measured SLOWER than three
     # separate Dense ops on v5e (1774 vs 1923 samples/s/chip): the per-step
     # concatenate of the three kernels (kept separate for checkpoint parity)
@@ -159,6 +165,10 @@ class ModelConfig:
         assert self.gelu_impl in ("auto", "exact", "rational"), (
             f"gelu_impl must be 'auto', 'exact' or 'rational', "
             f"got {self.gelu_impl!r}"
+        )
+        assert self.dropout_hash in ("murmur3", "mix2"), (
+            f"dropout_hash must be 'murmur3' or 'mix2', "
+            f"got {self.dropout_hash!r}"
         )
 
     # -- constructors -------------------------------------------------------
@@ -327,10 +337,15 @@ class OptimizerConfig:
     # default opt config mirrors that; CC pretraining keeps the default True
     # (train_concap.py:466 leaves pytorch_transformers' default).
     correct_bias: bool = True
-    # storage dtype of the Adam second moment (v). "bfloat16" halves v's HBM
-    # footprint and the optimizer-walk traffic — at bert_large scale the
-    # adamw state walk is ~18% of the step (docs/perf.md). The moment update
-    # itself always computes in fp32 (only storage is compressed).
+    # storage dtypes of the Adam moments (m, v). "bfloat16" halves the
+    # moment's HBM footprint and the optimizer-walk traffic — the fp32-state
+    # adamw walk is HBM-bound (~7 GB/step at bert_base scale; at bert_large
+    # it is ~18% of the step, docs/perf.md). Moment updates always
+    # ACCUMULATE in fp32 (only storage is compressed). v tolerates bf16
+    # well (sqrt compresses its dynamic range); m in bf16 adds relative
+    # error ~2e-3 per step to the update direction — measured neutral on
+    # the CC bench losses, kept default-off for recipe parity.
+    first_moment_dtype: str = "float32"
     second_moment_dtype: str = "float32"
     warmup_proportion: float = 0.1
     # per-iteration: "warmup_linear" | "warmup_constant" | "constant";
@@ -367,3 +382,7 @@ class TrainConfig:
     # train_tasks.py:333-341: ave_iter = num_epoch*len(loader)*mult/epochs)
     train_iter_multiplier: float = 1.0
     prefetch_batches: int = 2      # per-task device prefetch depth (0 = off)
+    # storage dtype of gradients ("" = loss dtype). "bfloat16" halves the
+    # gradient HBM footprint; the loss is differentiated w.r.t. a bf16 cast
+    # of the params so cotangents materialize in bf16 (parallel/train_step.py)
+    grad_dtype: str = ""

@@ -104,6 +104,7 @@ class BiAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            dropout_hash=cfg.dropout_hash,
             softmax_dtype=cfg.resolved_softmax_dtype,
         )
         # image queries -> text keys/values (image-side context)
@@ -116,6 +117,7 @@ class BiAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            dropout_hash=cfg.dropout_hash,
             softmax_dtype=cfg.resolved_softmax_dtype,
         )
         if cfg.visualization:

@@ -198,7 +198,7 @@ def _dropout(cfg: ModelConfig, rate: float, name: Optional[str] = None):
     if cfg.use_fast_dropout:
         from vilbert_tpu.ops.dropout import FastDropout
 
-        return FastDropout(rate, name=name)
+        return FastDropout(rate, variant=cfg.dropout_hash, name=name)
     return nn.Dropout(rate, name=name)
 
 
@@ -375,6 +375,7 @@ class SelfAttention(nn.Module):
             impl=impl,
             return_probs=cfg.visualization,
             fast_dropout=cfg.use_fast_dropout,
+            dropout_hash=cfg.dropout_hash,
             softmax_dtype=cfg.resolved_softmax_dtype,
         )
         if cfg.visualization:

@@ -46,6 +46,7 @@ def _probs_from_scores(
     deterministic: bool,
     dropout_rng: Optional[jax.Array],
     fast_dropout: bool,
+    dropout_hash: str = "murmur3",
 ) -> jax.Array:
     """Shared tail of both attention layouts: scale, mask-bias add, softmax,
     attention-probability dropout. One implementation keeps the head-major
@@ -62,7 +63,8 @@ def _probs_from_scores(
             from vilbert_tpu.ops.dropout import hash_keep_mask
 
             seed = jax.random.bits(dropout_rng, (), jnp.uint32)
-            keep = hash_keep_mask(probs.shape, dropout_rate, seed)
+            keep = hash_keep_mask(probs.shape, dropout_rate, seed,
+                                  dropout_hash)
         else:
             keep = jax.random.bernoulli(
                 dropout_rng, 1.0 - dropout_rate, probs.shape
@@ -84,6 +86,7 @@ def attention_core(
     impl: str = "xla",
     return_probs: bool = False,
     fast_dropout: bool = True,
+    dropout_hash: str = "murmur3",
     softmax_dtype=jnp.float32,
 ) -> jax.Array:
     """Scaled dot-product attention over projected inputs.
@@ -119,7 +122,7 @@ def attention_core(
         probs = _probs_from_scores(
             scores, bias, q.shape[-1], dropout_rate=dropout_rate,
             deterministic=deterministic, dropout_rng=dropout_rng,
-            fast_dropout=fast_dropout,
+            fast_dropout=fast_dropout, dropout_hash=dropout_hash,
         )
         probs = probs.astype(v.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
@@ -159,7 +162,7 @@ def attention_core(
     probs = _probs_from_scores(
         scores, bias, head_dim, dropout_rate=dropout_rate,
         deterministic=deterministic, dropout_rng=dropout_rng,
-        fast_dropout=fast_dropout,
+        fast_dropout=fast_dropout, dropout_hash=dropout_hash,
     )
     probs = probs.astype(vh.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)

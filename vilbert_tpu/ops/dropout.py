@@ -35,7 +35,26 @@ def _murmur_mix(x: jax.Array) -> jax.Array:
     return x
 
 
-def hash_keep_mask(shape, rate: float, seed: jax.Array) -> jax.Array:
+def _mix2_mix(x: jax.Array) -> jax.Array:
+    # one-round finalizer (lowbias32-style constant). u32 multiplies are
+    # EMULATED on the TPU VPU (16-bit partial products), so each round
+    # saved matters at ~600M mask elements/step; one round after the
+    # golden-ratio prepare multiply still passes the keep-rate and
+    # lag-autocorrelation checks in tests/test_train.py (dropout dominates
+    # nothing statistically — thresholding needs marginal uniformity, not
+    # crypto avalanche).
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    return x
+
+
+_MIXERS = {"murmur3": _murmur_mix, "mix2": _mix2_mix}
+
+
+def hash_keep_mask(
+    shape, rate: float, seed: jax.Array, variant: str = "murmur3"
+) -> jax.Array:
     """Boolean keep-mask with P(keep) = 1 - rate, from a scalar uint32 seed."""
     n = int(np.prod(shape))
     # 2D iota (TPU requires >=2D); flatten afterwards
@@ -43,7 +62,7 @@ def hash_keep_mask(shape, rate: float, seed: jax.Array) -> jax.Array:
     x = idx * jnp.uint32(0x9E3779B1) ^ seed.astype(jnp.uint32) * jnp.uint32(
         0x27D4EB2F
     )
-    bits = _murmur_mix(x)
+    bits = _MIXERS[variant](x)
     threshold = np.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
     return (bits >= threshold).reshape(shape)
 
@@ -54,12 +73,13 @@ def hash_dropout(
     rng: Optional[jax.Array],
     *,
     deterministic: bool = False,
+    variant: str = "murmur3",
 ) -> jax.Array:
     if deterministic or rate == 0.0:
         return x
     assert rng is not None
     seed = jax.random.bits(rng, (), jnp.uint32)  # one tiny fold per site
-    keep = hash_keep_mask(x.shape, rate, seed)
+    keep = hash_keep_mask(x.shape, rate, seed, variant)
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
@@ -67,11 +87,13 @@ class FastDropout(nn.Module):
     """Drop-in replacement for flax nn.Dropout using the counter hash."""
 
     rate: float
+    variant: str = "murmur3"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         if deterministic or self.rate == 0.0:
             return x
         return hash_dropout(
-            x, self.rate, self.make_rng("dropout"), deterministic=False
+            x, self.rate, self.make_rng("dropout"), deterministic=False,
+            variant=self.variant,
         )

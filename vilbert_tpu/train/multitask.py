@@ -447,6 +447,7 @@ class MultiTaskTrainer:
                 step_fn=make_train_step(
                     loss_fn, task_tx, loss_scale=self.loss_scales[key],
                     external_lr=True, grad_accum=self.grad_accum,
+                    grad_dtype=self.train_cfg.grad_dtype or None,
                 ),
                 eval_fn=make_task_eval_fn(self.model, model_cfg, tcfg),
                 num_iters=len(loaders[key]),

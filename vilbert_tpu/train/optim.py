@@ -315,7 +315,7 @@ def reference_adamw(
     scale_by_pytorch_adam → add_decayed_weights → scale_by_lr chain on the
     CC bench (2061.8 vs 2057 samples/s/chip — XLA already fused the chain);
     the win is one state layout for internal- and external-LR modes plus
-    the ``second_moment_dtype`` option below.
+    the ``first_moment_dtype``/``second_moment_dtype`` options below.
 
     Masked params keep their moments untouched — matching torch's
     'if p.grad is None: continue' for params outside the task's backward
@@ -337,6 +337,7 @@ def reference_adamw(
         lambda use, r: bool(use) and r != 0.0, update_mask, ratios
     )
     b1, b2, eps, wd = cfg.beta1, cfg.beta2, cfg.eps, cfg.weight_decay
+    mdt = jnp.dtype(cfg.first_moment_dtype)
     vdt = jnp.dtype(cfg.second_moment_dtype)
 
     def init_fn(params_):
@@ -344,13 +345,17 @@ def reference_adamw(
             return jax.tree.map(lambda p: jnp.zeros(p.shape, dt), params_)
 
         return ScaleByPytorchAdamState(
-            count=jnp.zeros((), jnp.int32), mu=zeros(jnp.float32),
+            count=jnp.zeros((), jnp.int32), mu=zeros(mdt),
             nu=zeros(vdt),
         )
 
     def update_fn(updates, state, params_=None):
-        mu = jax.tree.map(
-            lambda use, m, g: b1 * m + (1.0 - b1) * g if use else m,
+        # moments always ACCUMULATE in fp32; mdt/vdt compress storage only
+        mu32 = jax.tree.map(
+            lambda use, m, g: (
+                b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+                if use else m.astype(jnp.float32)
+            ),
             participate, state.mu, updates,
         )
         nu32 = jax.tree.map(
@@ -379,8 +384,13 @@ def reference_adamw(
             return (-lr_t * ratio) * u
 
         out = jax.tree.map(
-            upd, participate, ratios, decay, mu, nu32, params_
+            upd, participate, ratios, decay, mu32, nu32, params_
         )
+        mu = (mu32 if mdt == jnp.float32
+              else jax.tree.map(
+                  lambda use, m, m0: m.astype(mdt) if use else m0,
+                  participate, mu32, state.mu,
+              ))
         nu = (nu32 if vdt == jnp.float32
               else jax.tree.map(
                   lambda use, v, v0: v.astype(vdt) if use else v0,

@@ -236,6 +236,7 @@ def run_pretraining(
     freeze_prefix="",
     resume_dir: str = "",
     start_step: int = -1,
+    grad_dtype: str = "",
 ) -> TrainState:
     """Minimal pretraining driver; CLI wiring lives in cli/train_concap.py.
 
@@ -290,7 +291,8 @@ def run_pretraining(
         model, model_cfg, img_weight=img_weight, lm_gather=lm_gather,
         img_gather=img_gather,
     )
-    step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum)
+    step_fn = make_train_step(loss_fn, tx, grad_accum=grad_accum,
+                              grad_dtype=grad_dtype or None)
 
     import itertools
 
