@@ -219,8 +219,9 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
          no_head_major: bool = False,
          first_moment_dtype: str = "float32",
          second_moment_dtype: str = "float32",
-         grad_dtype: str = "", proj_impl: str = "einsum",
-         gelu_impl: str = "auto", dropout_hash: str = "murmur3") -> None:
+         grad_dtype: str = "", proj_impl: str | None = None,
+         gelu_impl: str | None = None,
+         dropout_hash: str | None = None) -> None:
     import jax
 
     from vilbert_tpu.utils.cache import setup_tpu_defaults
@@ -252,11 +253,15 @@ def main(config_json: str = "", batch: int = 0, remat: bool = False,
         cfg = dataclasses.replace(cfg, softmax_dtype="float32")
     if no_head_major:  # A/B knob: default is head-major [B,h,S,d] attention
         cfg = dataclasses.replace(cfg, head_major_attention=False)
-    if proj_impl != "einsum":  # A/B knob: projection spelling (docs/perf.md)
+    # A/B knobs below use a None sentinel for "flag not passed" so an
+    # explicit CLI value always wins, even over a config_json that sets a
+    # non-default (ADVICE r4: comparing against the default string made
+    # `--gelu auto` a silent no-op on such configs).
+    if proj_impl is not None:  # projection spelling (docs/perf.md)
         cfg = dataclasses.replace(cfg, proj_impl=proj_impl)
-    if gelu_impl != "auto":  # A/B knob: "exact" forces XLA's erf expansion
+    if gelu_impl is not None:  # "exact" forces XLA's erf expansion
         cfg = dataclasses.replace(cfg, gelu_impl=gelu_impl)
-    if dropout_hash != "murmur3":  # A/B knob: 2-mult hash (docs/perf.md)
+    if dropout_hash is not None:  # 2-mult hash (docs/perf.md)
         cfg = dataclasses.replace(cfg, dropout_hash=dropout_hash)
     model = ViLBERTForPretraining(cfg)
 
@@ -519,9 +524,9 @@ if __name__ == "__main__":
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
-             proj_impl=_sarg("--proj_impl", "einsum"),
-             gelu_impl=_sarg("--gelu", "auto"),
-             dropout_hash=_sarg("--dropout_hash", "murmur3"))
+             proj_impl=_sarg("--proj_impl", None),
+             gelu_impl=_sarg("--gelu", None),
+             dropout_hash=_sarg("--dropout_hash", None))
     else:
         main(batch=_arg("--batch"), remat="--remat" in sys.argv,
              lm_gather=_arg("--lm_gather", SEQ // 3),
@@ -534,6 +539,6 @@ if __name__ == "__main__":
              second_moment_dtype=("bfloat16" if "--bf16_nu" in sys.argv
                                   else "float32"),
              grad_dtype=("bfloat16" if "--bf16_grads" in sys.argv else ""),
-             proj_impl=_sarg("--proj_impl", "einsum"),
-             gelu_impl=_sarg("--gelu", "auto"),
-             dropout_hash=_sarg("--dropout_hash", "murmur3"))
+             proj_impl=_sarg("--proj_impl", None),
+             gelu_impl=_sarg("--gelu", None),
+             dropout_hash=_sarg("--dropout_hash", None))

@@ -28,19 +28,38 @@ def _load_entry():
 
 
 def test_dryrun_in_process_with_enough_devices(capsys):
-    # the test session runs on an 8-device virtual CPU mesh (conftest)
+    # the test session runs on an 8-device virtual CPU mesh (conftest).
+    # This is exactly the driver's JAX_PLATFORMS=cpu invocation: phase 1+2
+    # run in-process AND phase 3 (pod-slice multihost) must run too — the
+    # round-4 wiring bug was this branch returning before dryrun_multihost.
     entry = _load_entry()
     entry.dryrun_multichip(8)
-    assert "ok" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "dryrun_multichip(8): ok" in out
+    assert "dryrun_multitask: ok" in out
+    assert "dryrun_multihost(2x4): ok" in out
 
 
-def test_dryrun_reexecs_when_devices_insufficient(capsys):
+def test_dryrun_multihost_direct(capsys):
+    # the pod-slice topology invoked directly: 2 real processes x 2 virtual
+    # CPU devices each, one global {'data': 2, 'model': 2} mesh over
+    # jax.distributed (VERDICT r4 item 1)
+    entry = _load_entry()
+    entry.dryrun_multihost(2, 2)
+    out = capsys.readouterr().out
+    assert "dryrun_multihost(2x2): ok" in out
+
+
+def test_dryrun_reexecs_when_devices_insufficient(capsys, monkeypatch):
     # 16 > the session's 8 devices AND the backend here is already
     # initialized — exactly the recorded driver failure mode. Must fall back
-    # to a fresh subprocess with a 16-device CPU platform.
+    # to a fresh subprocess with a 16-device CPU platform. Phase 3 is
+    # skipped here: a 2x8 multihost run duplicates the two tests above at
+    # ~4 min of extra XLA compiles.
     import jax
 
     assert len(jax.devices()) < 16
+    monkeypatch.setenv("GRAFT_SKIP_MULTIHOST", "1")
     entry = _load_entry()
     entry.dryrun_multichip(16)
     out = capsys.readouterr().out

@@ -83,3 +83,29 @@ def test_async_save_round_trips(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.asarray(state["w"]))
     mngr.close()
+
+
+def test_restore_converts_state_dtype_mismatch(tmp_path):
+    """A checkpoint saved with --bf16_adam_state must resume cleanly into an
+    fp32-configured run (and vice versa): restore converts every leaf to the
+    template dtype instead of silently keeping the saved one (ADVICE r4)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vilbert_tpu.core.checkpoint import CheckpointManager
+
+    saved = {"mu": jnp.arange(6.0, dtype=jnp.bfloat16),
+             "nu": jnp.ones(6, jnp.bfloat16),
+             "w": jnp.full(6, 2.0, jnp.float32)}
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(1, saved)
+    template = {"mu": jnp.zeros(6, jnp.float32),
+                "nu": jnp.zeros(6, jnp.float32),
+                "w": jnp.zeros(6, jnp.float32)}
+    restored, _, step = mngr.restore(template)
+    assert step == 1
+    assert restored["mu"].dtype == jnp.float32
+    assert restored["nu"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(restored["mu"]),
+                               np.arange(6.0, dtype=np.float32))
+    mngr.close()

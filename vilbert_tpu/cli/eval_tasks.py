@@ -12,7 +12,9 @@ eval_tasks.py).
 from __future__ import annotations
 
 import argparse
+import json
 import logging
+import os
 
 
 def main(argv=None) -> None:
@@ -135,6 +137,14 @@ def main(argv=None) -> None:
         logging.info("%s: loss %.4f score %.4f (%d samples)",
                      key, metrics["loss"], metrics["score"],
                      metrics["num_samples"])
+        # machine-readable metrics next to the submission records — the
+        # reference only prints (eval_tasks.py:199-207); downstream harnesses
+        # (scripts/scale_rehearsal.py) read this instead of scraping logs
+        os.makedirs(args.output_dir, exist_ok=True)
+        mpath = os.path.join(
+            args.output_dir, f"metrics_{task.name}_{args.split}.json")
+        with open(mpath, "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f)
         if results:
             path = save_results(results, args.output_dir, task.name, args.split)
             logging.info("wrote %s", path)

@@ -75,7 +75,21 @@ class CheckpointManager:
                 step, args=ocp.args.Composite(host=ocp.args.JsonRestore())
             )
             host = restored_h["host"]
-        return restored["state"], host, step
+        # A checkpoint saved under a different state-dtype configuration
+        # (e.g. --bf16_adam_state toggled between save and resume) restores
+        # with the SAVED dtypes; convert every leaf to the template's dtype
+        # so the resumed run behaves exactly as configured (ADVICE r4:
+        # nothing validated or converted on resume).
+        state = jax.tree.map(
+            lambda t, r: (
+                r.astype(t.dtype)
+                if hasattr(t, "dtype") and hasattr(r, "dtype")
+                and hasattr(r, "astype") and r.dtype != t.dtype
+                else r
+            ),
+            state_template, restored["state"],
+        )
+        return state, host, step
 
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()

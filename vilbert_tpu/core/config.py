@@ -106,7 +106,8 @@ class ModelConfig:
     # multiplies/element (full murmur3 finalizer). "mix2": 2 multiplies —
     # u32 multiply is emulated on the VPU, and dropout hashes ~600M
     # elements/step, so the saved round is measurable; keep-rate and
-    # lag-autocorrelation quality pinned in tests/test_train.py.
+    # lag-autocorrelation quality pinned in
+    # tests/test_fast_dropout.py::test_hash_variant_statistics.
     dropout_hash: str = "murmur3"
     # one [D,3H] projection GEMM per attention. Measured SLOWER than three
     # separate Dense ops on v5e (1774 vs 1923 samples/s/chip): the per-step

@@ -85,11 +85,15 @@ class TextEmbeddings(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         seq_len = input_ids.shape[1]
-        if cfg.model == "roberta":
-            # fairseq-style: positions start at padding_idx + 1 = 2
-            position_ids = jnp.arange(2, seq_len + 2, dtype=jnp.int32)
-        else:
-            position_ids = jnp.arange(seq_len, dtype=jnp.int32)
+        # RoBERTa quirk: the reference's RobertaEmbeddings computes
+        # fairseq-style offset-2 positions (vilbert.py:370-394) but its
+        # BertEmbeddings base UNCONDITIONALLY recomputes position_ids from
+        # arange(seq_length), ignoring the argument (vilbert.py:347-352) —
+        # the offset is dead code and the shipped behavior is offset 0 for
+        # both model types. Matching that keeps roberta checkpoints
+        # import-compatible (pinned by
+        # tests/test_config_matrix.py::test_roberta_checkpoint_import_parity).
+        position_ids = jnp.arange(seq_len, dtype=jnp.int32)
         emb = (
             self.word_embeddings(input_ids)
             + self.position_embeddings(position_ids)[None, :, :]

@@ -40,7 +40,8 @@ def _mix2_mix(x: jax.Array) -> jax.Array:
     # EMULATED on the TPU VPU (16-bit partial products), so each round
     # saved matters at ~600M mask elements/step; one round after the
     # golden-ratio prepare multiply still passes the keep-rate and
-    # lag-autocorrelation checks in tests/test_train.py (dropout dominates
+    # lag-autocorrelation checks in tests/test_fast_dropout.py::
+    # test_hash_variant_statistics (dropout dominates
     # nothing statistically — thresholding needs marginal uniformity, not
     # crypto avalanche).
     x = x ^ (x >> 16)

@@ -350,17 +350,22 @@ def reference_adamw(
         )
 
     def update_fn(updates, state, params_=None):
-        # moments always ACCUMULATE in fp32; mdt/vdt compress storage only
+        # moments always ACCUMULATE in fp32; mdt/vdt compress storage only.
+        # g is cast explicitly: with grad_dtype=bfloat16 the weak-typed
+        # (1-b1)*g product would otherwise stay bf16, rounding the
+        # fresh-gradient term once before the fp32 add (ADVICE r4).
         mu32 = jax.tree.map(
             lambda use, m, g: (
-                b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+                b1 * m.astype(jnp.float32)
+                + (1.0 - b1) * g.astype(jnp.float32)
                 if use else m.astype(jnp.float32)
             ),
             participate, state.mu, updates,
         )
         nu32 = jax.tree.map(
             lambda use, v, g: (
-                b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+                b2 * v.astype(jnp.float32)
+                + (1.0 - b2) * jnp.square(g.astype(jnp.float32))
                 if use else v.astype(jnp.float32)
             ),
             participate, state.nu, updates,
