@@ -34,11 +34,13 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
 
-def bench_vqa_eval(no_head_major: bool = False, int8: bool = False) -> None:
+def bench_vqa_eval(no_head_major: bool = False, int8: bool = False,
+                   int8_static: bool = False) -> None:
     """Secondary metric (BASELINE.json): VQA eval questions/sec — jitted
     vil_prediction forward at the reference eval shapes (seq 23, 101 regions,
     eval batch 1024 per vilbert_tasks.yml TASK1). Run: python bench.py --eval
-    [--int8] (dynamic int8 matmuls, ops/quant.py — v5e int8 MXU is 2x bf16)"""
+    [--int8 | --int8_static] (ops/quant.py — v5e int8 MXU is 2x bf16;
+    static = calibrated per-channel activation scales, no per-call abs-max)"""
     import jax
 
     from vilbert_tpu.core.config import ModelConfig
@@ -49,6 +51,7 @@ def bench_vqa_eval(no_head_major: bool = False, int8: bool = False) -> None:
     cfg = ModelConfig.from_json_file(
         "configs/bert_base_6layer_6conect.json", compute_dtype="bfloat16",
         head_major_attention=not no_head_major, int8_matmul=int8,
+        int8_static=int8_static,
     )
     model = ViLBERTForVLTasks(cfg)
     B, T, R = 1024, 23, 101
@@ -58,6 +61,21 @@ def bench_vqa_eval(no_head_major: bool = False, int8: bool = False) -> None:
     spats = rng.rand(B, R, 5).astype(np.float32)
     masks = (np.ones((B, T), np.int32), np.ones((B, R), np.int32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), q[:2], feats[:2], spats[:2])
+
+    quant = {}
+    if int8_static:
+        # offline calibration: one mutable pass over a calibration batch
+        # records each site's per-channel activation abs-max
+        calib = jax.jit(
+            lambda p, *a: model.apply(
+                p, *a, heads=("vil_prediction",), mutable=["quant"]
+            )[1]
+        )
+        quant = calib(
+            params, q[:64], feats[:64], spats[:64], None,
+            masks[0][:64], masks[1][:64],
+        )["quant"]
+        params = {**params, "quant": quant}
 
     @jax.jit
     def forward(params, q, feats, spats, tmask, imask):
@@ -75,9 +93,9 @@ def bench_vqa_eval(no_head_major: bool = False, int8: bool = False) -> None:
     float(out.sum())
     dt = time.perf_counter() - t0
     qps = B * steps / dt / jax.device_count()
+    suffix = "_int8" if int8 else ("_int8_static" if int8_static else "")
     print(json.dumps({
-        "metric": "vqa_eval_questions_per_sec_per_chip"
-                  + ("_int8" if int8 else ""),
+        "metric": "vqa_eval_questions_per_sec_per_chip" + suffix,
         "value": round(qps, 2), "unit": "questions/s/chip",
         "vs_baseline": round(qps / 800.0, 3),  # est. reference V100 eval q/s
     }))
@@ -507,7 +525,8 @@ if __name__ == "__main__":
 
     if "--eval" in sys.argv:
         bench_vqa_eval(no_head_major="--no_head_major" in sys.argv,
-                       int8="--int8" in sys.argv)
+                       int8="--int8" in sys.argv,
+                       int8_static="--int8_static" in sys.argv)
     elif "--multitask" in sys.argv:
         bench_multitask()
     elif "--e2e" in sys.argv:

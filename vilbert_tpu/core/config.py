@@ -138,6 +138,16 @@ class ModelConfig:
     # (weights stay fp32/bf16; quantize happens in the forward). No custom
     # gradient rules: training with this flag is undefined behavior.
     int8_matmul: bool = False
+    # INFERENCE-ONLY: static-calibrated int8 (ops/quant.py module docstring).
+    # Per-channel activation scales are recorded by a calibration pass
+    # (apply with mutable=["quant"]) and folded into the weight quantization
+    # — no per-call activation abs-max reduction. Inference applies must be
+    # given the calibrated "quant" collection.
+    int8_static: bool = False
+
+    @property
+    def int8_enabled(self) -> bool:
+        return self.int8_matmul or self.int8_static
 
     def __post_init__(self):
         if self.visual_target != 0 and self.v_target_size != self.v_feature_size:

@@ -145,12 +145,38 @@ class LayerNorm(nn.Module):
         )
 
 
+def _int8_act_amax(mod: nn.Module, x: jax.Array, in_dim: int):
+    """Static-int8 per-channel activation range for this site.
+
+    Lives in the ``quant`` variable collection (one [in]-vector per
+    quantized site, addressed by the module path). Behavior follows the
+    collection's mutability:
+
+    - calibration pass (``apply(..., mutable=["quant"])``): accumulate the
+      running per-channel abs-max over the calibration batches and return
+      None — the site computes with DYNAMIC scales while observing;
+    - inference (``apply({"params": ..., "quant": calibrated})``): return
+      the calibrated vector — the site quantizes with fixed scales and
+      skips the per-call abs-max reduction.
+    """
+    v = mod.variable(
+        "quant", "act_amax", lambda: jnp.zeros((in_dim,), jnp.float32)
+    )
+    if mod.is_mutable_collection("quant"):
+        obs = jnp.max(
+            jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1))
+        )
+        v.value = jnp.maximum(v.value, obs)
+        return None
+    return v.value
+
+
 class QuantDense(nn.Module):
     """nn.Dense-compatible layer computing y = int8(x) @ int8(kernel) + bias.
 
     Param tree identical to nn.Dense (kernel [in, features], bias) so
     checkpoints round-trip unchanged; only the arithmetic differs
-    (ops/quant.py — inference-only dynamic int8)."""
+    (ops/quant.py — inference-only int8, dynamic or calibrated static)."""
 
     features: int
     config: ModelConfig
@@ -165,7 +191,10 @@ class QuantDense(nn.Module):
             "kernel", nn.initializers.normal(stddev=cfg.initializer_range),
             (x.shape[-1], self.features), jnp.dtype(cfg.param_dtype),
         )
-        y = int8_dense(x, kernel, jnp.dtype(cfg.compute_dtype))
+        amax = (
+            _int8_act_amax(self, x, x.shape[-1]) if cfg.int8_static else None
+        )
+        y = int8_dense(x, kernel, jnp.dtype(cfg.compute_dtype), act_amax=amax)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),
@@ -176,7 +205,7 @@ class QuantDense(nn.Module):
 
 
 def _dense(cfg: ModelConfig, features: int, name: str, use_bias: bool = True):
-    if cfg.int8_matmul:
+    if cfg.int8_enabled:
         return QuantDense(features, cfg, use_bias=use_bias, name=name)
     return nn.Dense(
         features,
@@ -256,12 +285,17 @@ class HeadProj(nn.Module):
         h = self.num_heads
         d = self.features // h
         cdtype = jnp.dtype(cfg.compute_dtype)
-        if cfg.int8_matmul:
+        if cfg.int8_enabled:
             from vilbert_tpu.ops.quant import int8_head_proj
 
             w = kernel.reshape(x.shape[-1], h, d)
             b = bias.reshape(h, d).astype(cdtype)
-            return int8_head_proj(x, w, cdtype) + b[None, :, None, :]
+            amax = (
+                _int8_act_amax(self, x, x.shape[-1])
+                if cfg.int8_static else None
+            )
+            return int8_head_proj(x, w, cdtype, act_amax=amax) \
+                + b[None, :, None, :]
         if cfg.proj_impl == "gemm":
             # plain 2D GEMM (bias fused in its epilogue) + ONE transpose to
             # head-major: autodiff's backward transposes the cotangent back
@@ -409,10 +443,18 @@ class MergeProj(nn.Module):
             jnp.dtype(cfg.param_dtype),
         )
         cdtype = jnp.dtype(cfg.compute_dtype)
-        if cfg.int8_matmul:
+        if cfg.int8_enabled:
             from vilbert_tpu.ops.quant import int8_merge_proj
 
-            return int8_merge_proj(ctx, kernel, cdtype) + bias.astype(cdtype)
+            amax = None
+            if cfg.int8_static:
+                _, h_, _, d_ = ctx.shape
+                x2 = ctx.transpose(0, 2, 1, 3).reshape(
+                    ctx.shape[0], ctx.shape[2], h_ * d_
+                )
+                amax = _int8_act_amax(self, x2, h_ * d_)
+            return int8_merge_proj(ctx, kernel, cdtype, act_amax=amax) \
+                + bias.astype(cdtype)
         if cfg.proj_impl == "gemm":
             B, _, S, _ = ctx.shape
             t = ctx.transpose(0, 2, 1, 3).reshape(B * S, h * d)
