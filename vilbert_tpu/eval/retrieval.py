@@ -17,6 +17,7 @@ pretraining heads (eval_retrieval.py:281-296); fine-tuned mode uses
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -50,32 +51,40 @@ def make_vil_logit_scorer(model, params) -> Callable:
     batch 1: the text stream then runs ONCE per caption and is broadcast over
     the image chunk inside the encoder at the first co-attention layer
     (reference eval_retrieval.py:220 + vilbert.py:1042-1053).
+
+    ``params`` is a jit ARGUMENT, not a closure: closed-over host params get
+    inlined as HLO constants (~1 GB of literals for bert_base), which blows up
+    the compile request on remote-compile backends. Passing them as a
+    device-resident argument keeps the HLO small and transfers weights once.
     """
 
     @jax.jit
-    def score(question, features, spatials, input_mask, segment_ids, image_mask):
+    def score(params, question, features, spatials, input_mask, segment_ids,
+              image_mask):
         out = model.apply(
             {"params": params}, question, features, spatials, segment_ids,
             input_mask, image_mask, heads=("vil_logit",),
         )
         return out.vil_logit[:, 0]
 
-    return score
+    return functools.partial(score, jax.device_put(params))
 
 
 def make_alignment_scorer(model, params) -> Callable:
     """score via softmax(seq_relationship)[:, 0] (zero-shot,
-    eval_retrieval.py:281-296)."""
+    eval_retrieval.py:281-296). Params are a jit argument — see
+    make_vil_logit_scorer."""
 
     @jax.jit
-    def score(question, features, spatials, input_mask, segment_ids, image_mask):
+    def score(params, question, features, spatials, input_mask, segment_ids,
+              image_mask):
         out = model.apply(
             {"params": params}, question, features, spatials, segment_ids,
             input_mask, image_mask,
         )
         return jax.nn.softmax(out.seq_relationship_score, axis=1)[:, 0]
 
-    return score
+    return functools.partial(score, jax.device_put(params))
 
 
 def evaluate_retrieval(
@@ -99,21 +108,28 @@ def evaluate_retrieval(
     """
     P = pool["features"].shape[0]
     assert P % chunk == 0, f"pool {P} must be a multiple of chunk {chunk}"
+    # transfer each pool chunk to the device ONCE up front (a 1000-image fp32
+    # pool is ~830 MB; re-sending a chunk per caption would dominate wall time
+    # on a remote-transfer backend)
+    chunks = [
+        {k: jnp.asarray(v[c0 : c0 + chunk]) for k, v in pool.items()}
+        for c0 in range(0, P, chunk)
+    ]
     rows, targets = [], []
     text_batch = 1 if fast_mode else chunk
     for cap in caption_iter:
         scores = []
-        for c0 in range(0, P, chunk):
+        for ch in chunks:
             q = np.broadcast_to(cap["question"], (text_batch,) + cap["question"].shape)
             im = np.broadcast_to(cap["input_mask"], (text_batch,) + cap["input_mask"].shape)
             sg = np.broadcast_to(cap["segment_ids"], (text_batch,) + cap["segment_ids"].shape)
             s = scorer(
                 q,
-                pool["features"][c0 : c0 + chunk],
-                pool["spatials"][c0 : c0 + chunk],
+                ch["features"],
+                ch["spatials"],
                 im,
                 sg,
-                pool["image_mask"][c0 : c0 + chunk],
+                ch["image_mask"],
             )
             scores.append(np.asarray(s))
         rows.append(np.concatenate(scores))
