@@ -168,11 +168,23 @@ def _ref_loss_and_score(kind, out, b):
 def run_reference(
     ref_model, ref_utils, train_batches, val_batches, *,
     num_epochs, base_lr, head_lr, warmup_proportion, grad_accum=1,
-    task_tokens=False,
+    task_tokens=False, lr_scheduler="mannul", epoch_lr_trace=None,
 ):
     """Line-by-line mirror of the reference epoch loop for two tasks with
-    lr_scheduler='mannul'. Returns (train_losses, eval_records) where
-    eval_records is [(iterId, task, val_score, in_stop_after_step)]."""
+    lr_scheduler='mannul' or 'automatic'. Returns (train_losses,
+    eval_records) where eval_records is
+    [(iterId, task, val_score, in_stop_after_step)].
+
+    'automatic' uses torch's REAL ReduceLROnPlateau as the oracle for the
+    epoch-end LR transition. NOTE the reference's own automatic path is
+    dead code: train_tasks.py:602 reads ``val_scores`` which is never
+    assigned anywhere in the file (the intended producer,
+    tbLogger.showLossValAll -> val_scores dict at utils.py:296-326, is
+    never called from train_tasks.py), so ``--lr_scheduler automatic``
+    NameErrors at the first epoch end. This mirror implements the evident
+    intent: step the plateau scheduler on the sum of each task's most
+    recent val score. ``epoch_lr_trace`` (a list) collects the post-epoch
+    LR scale factor for comparison."""
     task_ids = list(train_batches)
     kinds = {"TASK_A": "vqa", "TASK_B": "tri"}
     # TASK_A trains at 2x base lr -> loss_scale 2 (train_tasks.py:239-251)
@@ -209,9 +221,20 @@ def run_reference(
         for g in optimizer.param_groups:
             g["lr"] = g["initial_lr"] * lam
 
-    set_scale(warm_lambda(0))          # warmup constructed first -> lr = 0
-    set_scale(mannul_lambda(0))        # mannul constructed second -> clobber
+    plateau = None
+    if lr_scheduler == "automatic":
+        plateau = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            optimizer, mode="max", factor=0.2, patience=1, cooldown=1,
+            threshold=0.001,
+        )
+        # warmup constructed first -> lr = 0; ReduceLROnPlateau sets nothing
+        # at construction, so the 0 SURVIVES (unlike the mannul clobber)
+        set_scale(warm_lambda(0))
+    else:
+        set_scale(warm_lambda(0))      # warmup constructed first -> lr = 0
+        set_scale(mannul_lambda(0))    # mannul constructed second -> clobber
 
+    last_val_scores = {}
     controllers = {
         k: ref_utils.MultiTaskStopOnPlateau(
             mode="max", patience=1, continue_threshold=0.005, cooldown=1,
@@ -240,6 +263,7 @@ def run_reference(
                 tot_score += score
                 n += b["features"].shape[0]
         val_score = tot_score / n
+        last_val_scores[key] = val_score
         controllers[key].step(val_score)
         # record in accumulation-WINDOW units keyed by PARAM STATE: a
         # reference eval after iterId s sees params after floor((s+1)/ga)
@@ -283,9 +307,16 @@ def run_reference(
                 )
                 if due:
                     evaluate(key, iter_id)
-        # mannul steps at epoch end (train_tasks.py:604-605)
-        mannul_steps_taken += 1
-        set_scale(mannul_lambda(mannul_steps_taken))
+        if plateau is not None:
+            # automatic steps on summed val scores (train_tasks.py:601-602)
+            plateau.step(sum(last_val_scores.values()))
+        else:
+            # mannul steps at epoch end (train_tasks.py:604-605)
+            mannul_steps_taken += 1
+            set_scale(mannul_lambda(mannul_steps_taken))
+        if epoch_lr_trace is not None:
+            g0 = optimizer.param_groups[0]
+            epoch_lr_trace.append(g0["lr"] / g0["initial_lr"])
         if epoch in LR_REDUCE:
             for key in task_ids:
                 controllers[key]._reset()
@@ -299,7 +330,8 @@ def run_reference(
 
 def run_ours(
     cfg, params, train_batches, val_batches, *, num_epochs, base_lr, head_lr,
-    warmup_proportion, grad_accum=1, B=4,
+    warmup_proportion, grad_accum=1, B=4, schedule="mannul",
+    epoch_lr_trace=None,
 ):
     from vilbert_tpu.core.config import OptimizerConfig, TaskConfig, TrainConfig
     from vilbert_tpu.train.multitask import MultiTaskTrainer
@@ -321,7 +353,7 @@ def run_ours(
         {k: _FakeLoader(v, B) for k, v in train_batches.items()},
         val_loaders={k: _FakeLoader(v, B) for k, v in val_batches.items()},
         opt_cfg=OptimizerConfig(
-            learning_rate=base_lr, schedule="mannul",
+            learning_rate=base_lr, schedule=schedule,
             warmup_proportion=warmup_proportion, head_lr=head_lr,
             correct_bias=False, weight_decay=0.01, eps=1e-3,
         ),
@@ -336,6 +368,15 @@ def run_ours(
     )
     train_losses = {k: [] for k in tasks}
     eval_records = []
+
+    if epoch_lr_trace is not None:
+        orig_epoch_end = trainer.schedule.on_epoch_end
+
+        def traced_epoch_end(epoch, val_score_sum=None):
+            orig_epoch_end(epoch, val_score_sum)
+            epoch_lr_trace.append(trainer.schedule.decay_factor)
+
+        trainer.schedule.on_epoch_end = traced_epoch_end
 
     # train() order per iteration: train_iteration -> evals -> hooks. Track
     # the current global iteration id by wrapping train_iteration so each
@@ -455,6 +496,45 @@ class TestFullRunEquivalence:
         n_val = sum(b["features"].shape[0] for b in val["TASK_A"])
         _compare(ref, ours, n_val, label="full-run")
 
+    def test_full_run_matches_automatic_lr(self, ref_mod, ref_utils):
+        """`--lr_scheduler automatic` variant (VERDICT r4 item 9): the full
+        run with ReduceLROnPlateau(mode=max, factor=0.2, patience=1,
+        cooldown=1, threshold=0.001) stepped on summed val scores at epoch
+        end, with torch's REAL ReduceLROnPlateau as the LR oracle — the val
+        scores rise then plateau, so a genuine plateau-triggered LR drop
+        must happen at the same epoch with the same factor on both stacks.
+
+        (The reference's own automatic branch is unrunnable dead code —
+        train_tasks.py:602 NameErrors on the never-assigned ``val_scores``;
+        see run_reference's docstring. The mirror implements the evident
+        intent.)"""
+        cfg = _tiny_cfg()
+        ref_model, params, train, val = self._setup(ref_mod, cfg)
+        ref_lr, our_lr = [], []
+        ref = run_reference(
+            ref_model, ref_utils, train, val,
+            num_epochs=7, base_lr=self.BASE_LR,
+            head_lr=self.HEAD_LR, warmup_proportion=self.WARMUP,
+            lr_scheduler="automatic", epoch_lr_trace=ref_lr,
+        )
+        ours = run_ours(
+            cfg, params, train, val,
+            num_epochs=7, base_lr=self.BASE_LR,
+            head_lr=self.HEAD_LR, warmup_proportion=self.WARMUP, B=self.B,
+            schedule="automatic", epoch_lr_trace=our_lr,
+        )
+        n_val = sum(b["features"].shape[0] for b in val["TASK_A"])
+        _compare(ref, ours, n_val, label="automatic-lr")
+        # the LR transition trace matches torch's ReduceLROnPlateau exactly
+        assert len(ref_lr) == len(our_lr) == 7, (ref_lr, our_lr)
+        np.testing.assert_allclose(our_lr, ref_lr, rtol=1e-9,
+                                   err_msg="plateau LR traces diverge")
+        # and a REAL plateau-triggered drop happened mid-run
+        assert ref_lr[-1] < 1.0 - 1e-9, (
+            "no plateau LR drop occurred — the variant proves nothing",
+            ref_lr,
+        )
+
     def test_full_run_matches_grad_accum(self, ref_mod, ref_utils):
         """Same world with gradient_accumulation_steps=2 — shorter run (the
         accumulation semantics are the target; LR drops are covered above).
@@ -544,3 +624,209 @@ class TestFullRunEquivalence:
             [(i, k) for i, k, *_ in our_evals]
         for (ri, rk, rs, _), (_, _, os_, _) in zip(ref_evals, our_evals):
             assert abs(rs - os_) <= tol, (ri, rk, rs, os_)
+
+
+# ---------------------------------------------------------------------------
+# CC pretraining: full tiny train_concap run vs torch (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+class TestConcapFullRunEquivalence:
+    """Full tiny Conceptual-Captions pretraining runs on both stacks —
+    multiple epochs with the reference's per-epoch 3-loss validation pass
+    (train_concap.py:608-654) — must produce matching per-step train-loss
+    and per-epoch val-loss trajectories, for objectives 0, 1 and 2.
+
+    The torch side mirrors train_concap.py's epoch loop line by line:
+    objective-1 label clearing (:535-540), objective-2 nsp zeroing (:555-556),
+    img_weight scaling (:557-558), scheduler.step() BEFORE optimizer.step()
+    (:583-586), and a val pass computing the three RAW losses (no objective
+    transforms, :608-654). Ours is ``run_pretraining`` with
+    ``val_every=steps_per_epoch``.
+    """
+
+    NUM_EPOCHS = 3
+    N_TRAIN = 5
+    N_VAL = 3
+    LR = 1e-3
+    WARMUP = 0.1
+    EPS = 1e-3          # see TestConcapTrajectory.EPS for the rationale
+    B, T, R = 8, 9, 6
+
+    def _batches(self, cfg, n, seed):
+        rng = np.random.RandomState(seed)
+        out = []
+        for _ in range(n):
+            b = {
+                "input_ids": rng.randint(
+                    1, cfg.vocab_size, (self.B, self.T)).astype(np.int32),
+                "segment_ids": np.zeros((self.B, self.T), np.int32),
+                "input_mask": np.ones((self.B, self.T), np.int32),
+                "image_feat": rng.randn(
+                    self.B, self.R, cfg.v_feature_size).astype(np.float32),
+                "image_loc": rng.rand(self.B, self.R, 5).astype(np.float32),
+                "image_mask": np.ones((self.B, self.R), np.int32),
+                "lm_label_ids": np.full((self.B, self.T), -1, np.int64),
+                "image_label": np.full((self.B, self.R - 1), -1, np.int64),
+                "image_target": rng.rand(
+                    self.B, self.R - 1, cfg.v_target_size).astype(np.float32),
+                # ensure >=2 aligned pairs so objective-1 clearing never
+                # empties the LM loss (all-(-1) labels nan torch's CE)
+                "is_next": np.concatenate(
+                    [np.zeros(2, np.int64),
+                     rng.randint(0, 2, (self.B - 2,)).astype(np.int64)]),
+            }
+            b["input_mask"][:, -2:] = 0
+            # token id 0 is [PAD]/never a masked target (labels >=1), so the
+            # reference's obj-1 `label[label == 0] = -1` quirk is equivalent
+            # to clearing misaligned rows
+            b["lm_label_ids"][:, 2] = rng.randint(1, cfg.vocab_size, self.B)
+            b["lm_label_ids"][:, 4] = rng.randint(1, cfg.vocab_size, self.B)
+            b["image_label"][:, 1] = 1
+            b["image_target"] /= b["image_target"].sum(-1, keepdims=True)
+            out.append(b)
+        return out
+
+    def _run_reference(self, model, train, val, objective):
+        from tests.test_training_parity import warmup_linear_lambda
+
+        model.train()
+        optimizer = ReferenceAdamW(
+            adamw_param_groups(model, self.LR), lr=self.LR,
+            betas=(0.9, 0.98), eps=self.EPS,
+        )
+        num_opt_steps = self.NUM_EPOCHS * len(train)
+        warmup = self.WARMUP * num_opt_steps
+        train_losses, val_records = [], []
+        global_step = 0
+        for epoch in range(self.NUM_EPOCHS):
+            model.train()
+            for b in train:
+                lm_label_ids = torch.tensor(b["lm_label_ids"])
+                image_label = torch.tensor(b["image_label"])
+                is_next = torch.tensor(b["is_next"])
+                if objective == 1:
+                    # train_concap.py:535-540 verbatim
+                    image_label = image_label * (is_next == 0).long().unsqueeze(1)
+                    image_label[image_label == 0] = -1
+                    lm_label_ids = lm_label_ids * (is_next == 0).long().unsqueeze(1)
+                    lm_label_ids[lm_label_ids == 0] = -1
+                optimizer.zero_grad()
+                lm, img, nsp = model(
+                    torch.tensor(b["input_ids"].astype(np.int64)),
+                    torch.tensor(b["image_feat"]),
+                    torch.tensor(b["image_loc"]),
+                    torch.tensor(b["segment_ids"].astype(np.int64)),
+                    torch.tensor(b["input_mask"].astype(np.int64)),
+                    torch.tensor(b["image_mask"].astype(np.int64)),
+                    masked_lm_labels=lm_label_ids,
+                    image_label=image_label,
+                    image_target=torch.tensor(b["image_target"]),
+                    next_sentence_label=is_next,
+                )
+                if objective == 2:
+                    nsp = nsp * 0
+                loss = lm + img + nsp
+                loss.backward()
+                # scheduler.step() BEFORE optimizer.step() (:583-586)
+                global_step += 1
+                lam = warmup_linear_lambda(global_step, warmup, num_opt_steps)
+                for g in optimizer.param_groups:
+                    g["lr"] = self.LR * lam
+                optimizer.step()
+                train_losses.append(float(loss.detach()))
+            # per-epoch validation: three RAW losses, no objective transforms
+            # (train_concap.py:608-654); equal batch sizes -> plain mean
+            model.eval()
+            tot = np.zeros(4)
+            with torch.no_grad():
+                for b in val:
+                    lm, img, nsp = model(
+                        torch.tensor(b["input_ids"].astype(np.int64)),
+                        torch.tensor(b["image_feat"]),
+                        torch.tensor(b["image_loc"]),
+                        torch.tensor(b["segment_ids"].astype(np.int64)),
+                        torch.tensor(b["input_mask"].astype(np.int64)),
+                        torch.tensor(b["image_mask"].astype(np.int64)),
+                        masked_lm_labels=torch.tensor(b["lm_label_ids"]),
+                        image_label=torch.tensor(b["image_label"]),
+                        image_target=torch.tensor(b["image_target"]),
+                        next_sentence_label=torch.tensor(b["is_next"]),
+                    )
+                    tot += [float(lm), float(img), float(nsp),
+                            float(lm + img + nsp)]
+            tot /= len(val)
+            val_records.append({
+                "masked_loss_t": tot[0], "masked_loss_v": tot[1],
+                "next_sentence_loss": tot[2], "loss": tot[3],
+            })
+        return train_losses, val_records
+
+    @pytest.mark.parametrize("objective", [0, 1, 2])
+    def test_full_concap_run_matches(self, ref_mod, objective):
+        from vilbert_tpu.core.config import OptimizerConfig
+        from vilbert_tpu.models.vilbert import ViLBERTForPretraining
+        from vilbert_tpu.train.pretrain import run_pretraining
+
+        cfg = _tiny_cfg(objective=objective)
+        train = self._batches(cfg, self.N_TRAIN, seed=7 + objective)
+        val = self._batches(cfg, self.N_VAL, seed=97 + objective)
+
+        torch.manual_seed(0)
+        ref_cfg = make_reference_config(ref_mod, cfg)
+        ref_model = ref_mod.BertForMultiModalPreTraining(ref_cfg)
+        flax_model = ViLBERTForPretraining(cfg)
+        b0 = train[0]
+        params = _import_params(
+            ref_model, flax_model,
+            (b0["input_ids"], b0["image_feat"], b0["image_loc"]),
+        )
+        ref_losses, ref_vals = self._run_reference(
+            ref_model, train, val, objective
+        )
+
+        opt_cfg = OptimizerConfig(
+            learning_rate=self.LR, beta2=0.98, eps=self.EPS,
+            weight_decay=0.01, warmup_proportion=self.WARMUP,
+            schedule="warmup_linear",
+        )
+        our_losses, val_history = [], []
+        run_pretraining(
+            cfg, opt_cfg, train,
+            num_steps=self.NUM_EPOCHS * len(train), init_params=params,
+            log_every=0, val_loader=val, val_every=len(train),
+            val_history=val_history,
+            hooks=[lambda step, st, m: our_losses.append(float(m["loss"]))],
+        )
+
+        # one val pass per epoch, at the same steps
+        assert [s for s, _ in val_history] == [
+            (e + 1) * len(train) for e in range(self.NUM_EPOCHS)
+        ]
+        # train-loss trajectory: tight early, chaos-aware overall (same
+        # calibration as TestConcapTrajectory)
+        np.testing.assert_allclose(
+            our_losses[:5], ref_losses[:5], rtol=1e-2, err_msg=objective
+        )
+        np.testing.assert_allclose(
+            our_losses, ref_losses, rtol=5e-2, err_msg=objective
+        )
+        # per-epoch val: all three losses + total match epoch by epoch
+        for e, (ref_v, (_, our_v)) in enumerate(zip(ref_vals, val_history)):
+            for key in ("masked_loss_t", "masked_loss_v",
+                        "next_sentence_loss", "loss"):
+                np.testing.assert_allclose(
+                    our_v[key], ref_v[key], rtol=5e-2, atol=5e-3,
+                    err_msg=(objective, e, key),
+                )
+        # non-trivial: training genuinely moved the model — the train loss
+        # dropped and the val total shifted. (Not "val LM loss decreased":
+        # under objective 2 the nsp signal is zeroed and at this step count
+        # the val LM component can drift up a hair while the image loss
+        # carries the learning; the parity assertions above are the test.)
+        assert ref_losses[-1] < ref_losses[0], (
+            "flat train trajectory — the run proves nothing"
+        )
+        assert abs(ref_vals[-1]["loss"] - ref_vals[0]["loss"]) > 1e-3, (
+            "flat val trajectory — the run proves nothing"
+        )

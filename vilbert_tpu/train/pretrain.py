@@ -33,12 +33,16 @@ def make_pretrain_loss_fn(
     deterministic: bool = False,
     lm_gather: int = 0,
     img_gather: int = 0,
+    apply_objective: bool = True,
 ) -> Callable:
     """loss_fn(params, batch, rng) for make_train_step.
 
     Replicates the objective handling of the reference loop
     (train_concap.py:535-559): objective==1 clears LM/region labels of
     misaligned pairs; objective==2 drops the alignment loss.
+    ``apply_objective=False`` skips both transforms — the reference's
+    per-epoch VALIDATION pass (train_concap.py:608-654) computes the three
+    raw losses regardless of the training objective.
 
     ``lm_gather=K > 0`` projects only (up to) K masked positions per sample
     through the vocab LM head instead of the full sequence — identical loss
@@ -99,7 +103,7 @@ def make_pretrain_loss_fn(
             deterministic=deterministic,
             rngs={} if deterministic else {"dropout": drop_rng},
         )
-        if cfg.objective == 1:
+        if apply_objective and cfg.objective == 1:
             aligned = (batch["is_next"] == 0)[:, None]
             lm_labels = jnp.where(aligned, lm_labels, -1)
             image_label = jnp.where(aligned, image_label, -1)
@@ -116,7 +120,7 @@ def make_pretrain_loss_fn(
             img_gathered=use_img_gather,
         )
         nsp = losses.next_sentence_loss
-        if cfg.objective == 2:
+        if apply_objective and cfg.objective == 2:
             nsp = nsp * 0.0
         loss = losses.masked_lm_loss + losses.masked_img_loss * img_weight + nsp
         metrics = {
@@ -168,9 +172,12 @@ def evaluate_pretraining(
     from vilbert_tpu.parallel.mesh import batch_sharding
 
     model = _pretrain_model(model_cfg, model_family)
+    # apply_objective=False: the reference val loop computes the three RAW
+    # losses (no objective-1 label clearing, no objective-2 nsp zeroing) —
+    # train_concap.py:608-654
     loss_fn = make_pretrain_loss_fn(
         model, model_cfg, img_weight=img_weight, deterministic=True,
-        lm_gather=lm_gather, img_gather=img_gather,
+        lm_gather=lm_gather, img_gather=img_gather, apply_objective=False,
     )
 
     @jax.jit
