@@ -37,11 +37,13 @@ def main() -> None:
                    help="dynamic int8 inference matmuls (ops/quant.py)")
     args = p.parse_args()
 
-    from vilbert_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     import jax
+
+    # The demo is EAGER (per-op dispatch, reference demo.ipynb semantics);
+    # on a remote-TPU backend every eager op is a round-trip — and a sick
+    # tunnel blocks forever at first touch. Always run on host CPU; the
+    # jitted CLIs are the TPU surfaces.
+    jax.config.update("jax_platforms", "cpu")
 
     from vilbert_tpu.core.config import ModelConfig
     from vilbert_tpu.data.feature_store import (
