@@ -226,6 +226,13 @@ def main(argv=None) -> None:
 
         from vilbert_tpu.core.checkpoint import load_params, load_pretrained_torch
         from vilbert_tpu.train.pretrain import _pretrain_model
+        from vilbert_tpu.utils.cached_path import cached_path
+
+        # URLs download into the local cache first (utils.py:485-682);
+        # format dispatch keys on the ORIGINAL name — cache filenames are
+        # extension-less content hashes
+        is_npz = args.from_pretrained.split("?", 1)[0].endswith(".npz")
+        args.from_pretrained = cached_path(args.from_pretrained)
 
         model = _pretrain_model(
             model_cfg, "basebert" if args.baseline else "vilbert"
@@ -235,7 +242,7 @@ def main(argv=None) -> None:
             jax.random.PRNGKey(0), batch0["input_ids"], batch0["image_feat"],
             batch0["image_loc"],
         )["params"]
-        if args.from_pretrained.endswith(".npz"):
+        if is_npz:
             init_params = load_params(args.from_pretrained)
         else:
             init_params, report = load_pretrained_torch(

@@ -336,12 +336,18 @@ class MultiTaskTrainer:
             )["params"]
         if from_pretrained:
             # the flagship recipe: fine-tune from the CC-pretrained checkpoint
-            # (reference train_tasks.py:370-375 VILBertForVLTasks.from_pretrained)
+            # (reference train_tasks.py:370-375 VILBertForVLTasks.from_pretrained);
+            # URLs download into the local cache first (utils.py:485-682)
             from vilbert_tpu.core.checkpoint import (
                 load_params, load_pretrained_torch,
             )
+            from vilbert_tpu.utils.cached_path import cached_path
 
-            if from_pretrained.endswith(".npz"):
+            # format dispatch keys on the ORIGINAL name — cache filenames
+            # are extension-less content hashes
+            is_npz = from_pretrained.split("?", 1)[0].endswith(".npz")
+            from_pretrained = cached_path(from_pretrained)
+            if is_npz:
                 loaded = load_params(from_pretrained)
                 # .npz may be a pretraining artifact: keep task heads at init
                 from vilbert_tpu.core.importer import _flatten, _unflatten
