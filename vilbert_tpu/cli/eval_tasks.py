@@ -42,8 +42,11 @@ def main(argv=None) -> None:
     p.add_argument("--synthetic", action="store_true")
     args = p.parse_args(argv)
 
-    from vilbert_tpu.utils.cache import enable_compilation_cache
+    from vilbert_tpu.utils.cache import (
+        enable_compilation_cache, force_requested_platform,
+    )
 
+    force_requested_platform()
     enable_compilation_cache()
 
     import jax

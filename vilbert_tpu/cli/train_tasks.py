@@ -31,6 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--head_lr", type=float, default=1e-4,
                    help="lr for task heads (train_tasks.py:379-398)")
     p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--adam_correct_bias", action="store_true",
+                   help="enable Adam bias correction. The reference runs "
+                   "WITHOUT it (AdamW(correct_bias=False), "
+                   "train_tasks.py:425) — fine for fine-tuning, but "
+                   "uncorrected beta2=0.999 shrinks early updates ~3-10x "
+                   "for the first ~1000 steps, which cripples FROM-SCRATCH "
+                   "runs; flip this on for those")
+    p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                   help="global grad-norm clip before the optimizer; 0 = "
+                   "off (the reference multi-task loop never clips). "
+                   "From-scratch runs want ~1.0: the initial prior-fit "
+                   "gradient spike otherwise inflates Adam's second moment "
+                   "and suppresses learning for ~1/(1-beta2) steps")
     p.add_argument("--bf16_adam_state", action="store_true",
                    help="store Adam moments (m, v) in bfloat16 — halves "
                         "optimizer HBM state; accumulation stays fp32 "
@@ -213,8 +226,10 @@ def main(argv=None) -> None:
         head_lr=args.head_lr,
         vision_scratch=args.vision_scratch,
         # reference multi-task AdamW runs WITHOUT bias correction
-        # (train_tasks.py:425: AdamW(..., correct_bias=False))
-        correct_bias=False,
+        # (train_tasks.py:425: AdamW(..., correct_bias=False));
+        # --adam_correct_bias opts back in for from-scratch runs
+        correct_bias=args.adam_correct_bias,
+        grad_clip_norm=args.clip_grad_norm or None,
         first_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
         second_moment_dtype="bfloat16" if args.bf16_adam_state else "float32",
     )

@@ -10,6 +10,27 @@ from __future__ import annotations
 import os
 
 
+def force_requested_platform() -> None:
+    """Re-assert ``JAX_PLATFORMS=cpu`` programmatically.
+
+    Some PJRT plugins register themselves irrespective of the JAX_PLATFORMS
+    environment variable (only the programmatic config restricts them), so a
+    CPU-forced run could still open — and block on — a remote TPU backend.
+    Call before any backend init in EVERY CLI entry point (found the hard
+    way: eval_tasks hung on a down TPU tunnel under JAX_PLATFORMS=cpu while
+    the train CLIs, which re-assert, ran fine). Only the cpu case is
+    rewritten: accelerator env values (e.g. a sitecustomize's "axon")
+    already resolve through the plugin's own registration.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str = "") -> None:
     """Enable the persistent cache — TPU platform only.
 
@@ -50,18 +71,7 @@ def setup_tpu_defaults() -> None:
     """
     import jax
 
-    # Some PJRT plugins register themselves irrespective of the JAX_PLATFORMS
-    # environment variable (only the programmatic config restricts them), so a
-    # CPU-forced run could still open — and block on — a remote TPU backend.
-    # Re-assert the env choice programmatically before any backend init.
-    # ONLY the cpu case: accelerator env values (e.g. a sitecustomize's
-    # "axon") already resolve through the plugin's own registration.
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-
+    force_requested_platform()
     enable_compilation_cache()
     try:
         jax.config.update("jax_default_prng_impl", "rbg")
